@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship verification suite slice on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key; every computed
+column is aliased identically on both sides, integer/rational outputs are
+preferred so value hashes match bit-exactly across engines.
 """
 
 from __future__ import annotations
@@ -14,25 +14,216 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_ucc_violations_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ucc import ucc_violations
+
+    return ucc_violations(_read(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def _q_ucc_metrics_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    return ucc_metrics_df(_read(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def _q_ucc_metrics_lineitem_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    return ucc_metrics_df(
+        _read(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
+
+def _q_fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.fd import fd_violations
+
+    return fd_violations(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderpriority"]
+    )
+
+
+def _q_fd_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.fd import fd_metrics_df
+
+    return fd_metrics_df(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderpriority"]
+    )
+
+
+def _q_afd_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.fd import fd_metrics_df
+
+    return fd_metrics_df(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_partkey"],
+        ["l_suppkey"],
+        error_threshold=0.05,
+    )
+
+
+def _q_ind_metrics_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ind import ind_metrics_df
+
+    return ind_metrics_df(
+        _read(spark, sf_dir, "lineitem"), ["l_orderkey"],
+        _read(spark, sf_dir, "orders"), ["o_orderkey"],
+    )
+
+
+def _q_ind_missing_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ind import ind_missing_values
+
+    return ind_missing_values(
+        _read(spark, sf_dir, "events"), ["user_id"],
+        _read(spark, sf_dir, "customer"), ["c_custkey"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
+        "ucc_metrics_orders_custkey": _q_ucc_metrics_orders_custkey,
+        "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
+        "fd_violations_orders": _q_fd_violations_orders,
+        "fd_metrics_orders": _q_fd_metrics_orders,
+        "afd_metrics_lineitem": _q_afd_metrics_lineitem,
+        "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
+        "ind_missing_events_customer": _q_ind_missing_events_customer,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_UCC_METRICS_SQL = """
+WITH g AS (SELECT {cols}, count(*) AS cnt FROM {table} GROUP BY {cols}),
+m AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total_rows,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS num_violating_clusters,
+         CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
+           AS num_violating_rows,
+         CAST(coalesce(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS pairs2x
+  FROM g)
+SELECT total_rows, num_violating_clusters, num_violating_rows,
+       CASE WHEN total_rows > 1
+            THEN CAST(pairs2x AS DOUBLE)
+                 / CAST(total_rows * (total_rows - 1) AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN num_violating_clusters = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
+"""
+
+_FD_METRICS_SQL = """
+WITH l1 AS (SELECT {lhs}, {rhs}, count(*) AS cnt
+            FROM {table} GROUP BY {lhs}, {rhs}),
+l2 AS (SELECT {lhs},
+              CAST(sum(cnt) AS BIGINT) AS cluster_size,
+              CAST(count(*) AS BIGINT) AS num_distinct_rhs,
+              CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS eq_pairs2x
+       FROM l1 GROUP BY {lhs}),
+m AS (
+  SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS total_rows,
+         CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS num_violating_clusters,
+         CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN cluster_size
+                                ELSE 0 END), 0) AS BIGINT) AS num_violating_rows,
+         CAST(coalesce(sum(cluster_size * (cluster_size - 1) - eq_pairs2x), 0)
+              AS BIGINT) AS conflicts
+  FROM l2)
+SELECT total_rows, num_violating_clusters, num_violating_rows,
+       CASE WHEN total_rows > 1
+            THEN CAST(conflicts AS DOUBLE)
+                 / CAST(total_rows * total_rows - total_rows AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN {holds_cond} THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
+"""
+
+_IND_METRICS_SQL = """
+WITH l AS (SELECT {lhs}, count(*) AS ref_count FROM {ltable}
+           WHERE {lhs} IS NOT NULL GROUP BY {lhs}),
+r AS (SELECT DISTINCT {rhs} FROM {rtable} WHERE {rhs} IS NOT NULL),
+j AS (SELECT l.*, r.{rhs} AS rkey FROM l LEFT JOIN r ON l.{lhs} = r.{rhs}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_distinct,
+         CAST(coalesce(sum(CASE WHEN rkey IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS num_missing_values,
+         CAST(coalesce(sum(CASE WHEN rkey IS NULL THEN ref_count ELSE 0 END), 0)
+              AS BIGINT) AS num_violating_rows
+  FROM j)
+SELECT total_distinct, num_missing_values, num_violating_rows,
+       CASE WHEN total_distinct > 0
+            THEN CAST(num_missing_values AS DOUBLE)
+                 / CAST(total_distinct AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN num_missing_values = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ucc_violations_orders_custkey": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders "
+            "GROUP BY o_custkey HAVING count(*) > 1"
+        ),
+        "ucc_metrics_orders_custkey": _UCC_METRICS_SQL.format(
+            cols="o_custkey", table="orders"
+        ),
+        "ucc_metrics_lineitem_pk": _UCC_METRICS_SQL.format(
+            cols="l_orderkey, l_linenumber", table="lineitem"
+        ),
+        "fd_violations_orders": """
+WITH l1 AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+            FROM orders GROUP BY o_custkey, o_orderpriority),
+l2 AS (SELECT o_custkey,
+              CAST(sum(cnt) AS BIGINT) AS cluster_size,
+              CAST(count(*) AS BIGINT) AS num_distinct_rhs,
+              CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS eq_pairs2x,
+              CAST(max(cnt) AS BIGINT) AS max_rhs_cnt
+       FROM l1 GROUP BY o_custkey)
+SELECT o_custkey, cluster_size, num_distinct_rhs,
+       CAST(max_rhs_cnt AS DOUBLE) / CAST(cluster_size AS DOUBLE)
+         AS most_frequent_rhs_proportion,
+       CAST(cluster_size * (cluster_size - 1) - eq_pairs2x AS BIGINT)
+         AS conflict_pairs
+FROM l2 WHERE num_distinct_rhs > 1
+""",
+        "fd_metrics_orders": _FD_METRICS_SQL.format(
+            lhs="o_custkey", rhs="o_orderpriority", table="orders",
+            holds_cond="num_violating_clusters = 0",
+        ),
+        "afd_metrics_lineitem": _FD_METRICS_SQL.format(
+            lhs="l_partkey", rhs="l_suppkey", table="lineitem",
+            holds_cond=(
+                "(CASE WHEN total_rows > 1 THEN CAST(conflicts AS DOUBLE)"
+                " / CAST(total_rows * total_rows - total_rows AS DOUBLE)"
+                " ELSE 0.0 END) <= 0.05"
+            ),
+        ),
+        "ind_metrics_lineitem_orders": _IND_METRICS_SQL.format(
+            lhs="l_orderkey", ltable="lineitem",
+            rhs="o_orderkey", rtable="orders",
+        ),
+        "ind_missing_events_customer": """
+SELECT l.user_id, CAST(count(*) AS BIGINT) AS ref_count
+FROM events l
+WHERE l.user_id IS NOT NULL
+  AND l.user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+GROUP BY l.user_id
+""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: UCC verification metrics on the lineitem PK at sf0.001."""
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    df = _read(spark, "/root/testdata/sf0.001", "lineitem")
+    return ucc_metrics_df(df, ["l_orderkey", "l_linenumber"])

@@ -1,0 +1,143 @@
+"""IND / AIND verification (inclusion dependencies, referential checks).
+
+Reference semantics (/root/reference):
+- IND ``R[X] ⊆ S[Y]`` holds iff every distinct value combination of R[X]
+  appears in S[Y] (ind/ind.h:14-44; Spider mines these by merging sorted
+  distinct value domains, ind/spider/spider.cpp:66-103).
+- AIND error = ``1 - |distinct(R[X]) ∩ distinct(S[Y])| / |distinct(R[X])|``
+  — the fraction of distinct LHS values missing from the RHS
+  (ind/spider/attribute.cpp:10-21, MineAINDs spider.cpp:115-121).
+- Nulls are not inclusion witnesses: a null LHS value is ignored (matches
+  SQL FK semantics and Spider's ignore-null handling, config/names.h:54
+  ``ignore_null_cols``).
+
+Spark-first design: distinct-domain containment is an anti-join on
+``distinct()`` projections. For the north-rule referential check
+(span ``media_ref`` → media catalog) the RHS is a dimension table —
+broadcast it so the probe side never shuffles. Error metrics come from one
+job over the anti-join counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from desbordante_spark.model import INDResult
+
+__all__ = ["ind_missing_values", "ind_verify", "ind_metrics_df"]
+
+
+def _nn(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    return df.na.drop(subset=list(cols))
+
+
+def ind_missing_values(
+    lhs_df: DataFrame,
+    lhs: Sequence[str],
+    rhs_df: DataFrame,
+    rhs: Sequence[str],
+    broadcast_rhs: bool = True,
+) -> DataFrame:
+    """Distinct LHS value combinations absent from the RHS, with their row
+    support: ``(X..., ref_count)``. Empty ⇒ the IND holds."""
+    lhs = list(lhs)
+    rhs = list(rhs)
+    left = (
+        _nn(lhs_df, lhs)
+        .groupBy(*lhs)
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+    right = _nn(rhs_df, rhs).select(*rhs).distinct()
+    if broadcast_rhs:
+        right = F.broadcast(right)
+    cond = [left[a] == right[b] for a, b in zip(lhs, rhs)]
+    return left.join(right, cond, "left_anti")
+
+
+def ind_metrics_df(
+    lhs_df: DataFrame,
+    lhs: Sequence[str],
+    rhs_df: DataFrame,
+    rhs: Sequence[str],
+    error_threshold: float = 0.0,
+    broadcast_rhs: bool = True,
+) -> DataFrame:
+    """One-row verdict DataFrame (no action):
+    ``(total_distinct, num_missing_values, num_violating_rows, error, holds)``.
+
+    A left join against the distinct RHS domain (broadcast when it's a
+    dimension) classifies each distinct LHS value in one pass — no separate
+    anti-join + count jobs.
+    """
+    lhs = list(lhs)
+    rhs = list(rhs)
+    left = (
+        _nn(lhs_df, lhs)
+        .groupBy(*lhs)
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+        .alias("l")
+    )
+    right = _nn(rhs_df, rhs).select(*rhs).distinct().alias("r")
+    if broadcast_rhs:
+        right = F.broadcast(right)
+    cond = [F.col(f"l.{a}") == F.col(f"r.{b}") for a, b in zip(lhs, rhs)]
+    joined = left.join(right, cond, "left")
+    miss = F.col(f"r.{rhs[0]}").isNull()
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("total_distinct"),
+        F.coalesce(F.sum(F.when(miss, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("num_missing_values"),
+        F.coalesce(F.sum(F.when(miss, F.col("ref_count")).otherwise(0)), F.lit(0))
+        .cast("long").alias("num_violating_rows"),
+    )
+    err = F.when(
+        F.col("total_distinct") > 0,
+        F.col("num_missing_values").cast("double")
+        / F.col("total_distinct").cast("double"),
+    ).otherwise(F.lit(0.0))
+    holds = (
+        (F.col("error") <= F.lit(error_threshold))
+        if error_threshold > 0
+        else (F.col("num_missing_values") == 0)
+    )
+    return (
+        agg.withColumn("error", err)
+        .withColumn("holds", holds.cast("int"))
+        .select("total_distinct", "num_missing_values", "num_violating_rows",
+                "error", "holds")
+    )
+
+
+def ind_verify(
+    lhs_df: DataFrame,
+    lhs: Sequence[str],
+    rhs_df: DataFrame,
+    rhs: Sequence[str],
+    error_threshold: float = 0.0,
+    broadcast_rhs: bool = True,
+) -> INDResult:
+    """Full IND/AIND verdict.
+
+    ``error`` = missing distinct-value fraction (Spider AIND measure);
+    ``num_violating_clusters`` = # missing distinct values,
+    ``num_violating_rows`` = # LHS rows referencing a missing value,
+    ``total_rows`` = # distinct non-null LHS values.
+    """
+    lhs = list(lhs)
+    m = ind_metrics_df(
+        lhs_df, lhs, rhs_df, rhs, error_threshold, broadcast_rhs
+    ).collect()[0]
+    return INDResult(
+        holds=bool(m["holds"]),
+        error=float(m["error"]),
+        num_violating_clusters=int(m["num_missing_values"]),
+        num_violating_rows=int(m["num_violating_rows"]),
+        total_rows=int(m["total_distinct"]),
+        violations=ind_missing_values(lhs_df, lhs, rhs_df, rhs, broadcast_rhs),
+        lhs=tuple(lhs),
+        rhs=tuple(rhs),
+        details={"error_threshold": error_threshold},
+    )

@@ -1,0 +1,54 @@
+"""IND/AIND (referential) golden tests — F6-style two-table fixture.
+AIND error = missing distinct LHS fraction (ind/spider/attribute.cpp:10-21)."""
+
+from __future__ import annotations
+
+import pytest
+
+from desbordante_spark.operators.ind import ind_metrics_df, ind_verify
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    orders_like = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "zz"), (6, "zz"), (7, None)],
+        "id long, ref string",
+    )
+    catalog = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "key string, payload long"
+    )
+    return orders_like, catalog
+
+
+def test_ind_violated(tables):
+    lhs_df, rhs_df = tables
+    res = ind_verify(lhs_df, ["ref"], rhs_df, ["key"])
+    assert not res.holds
+    # distinct non-null refs: a,b,c,zz -> 1 missing of 4
+    assert res.total_rows == 4
+    assert res.num_violating_clusters == 1
+    assert res.num_violating_rows == 2  # two rows reference 'zz'
+    assert res.error == pytest.approx(0.25)
+    miss = res.violations.collect()
+    assert len(miss) == 1 and miss[0]["ref"] == "zz" and miss[0]["ref_count"] == 2
+
+
+def test_aind_threshold(tables):
+    lhs_df, rhs_df = tables
+    assert ind_verify(lhs_df, ["ref"], rhs_df, ["key"], error_threshold=0.3).holds
+    assert not ind_verify(lhs_df, ["ref"], rhs_df, ["key"], error_threshold=0.2).holds
+
+
+def test_ind_holds(tables):
+    lhs_df, rhs_df = tables
+    ok = lhs_df.filter("ref in ('a','b','c')")
+    res = ind_verify(ok, ["ref"], rhs_df, ["key"])
+    assert res.holds and res.error == 0.0
+
+
+def test_ind_metrics_df_schema(tables):
+    lhs_df, rhs_df = tables
+    row = ind_metrics_df(lhs_df, ["ref"], rhs_df, ["key"]).collect()[0]
+    assert row["total_distinct"] == 4
+    assert row["num_missing_values"] == 1
+    assert row["holds"] == 0
