@@ -85,6 +85,40 @@ def _q_ind_missing_events_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.stats import profile
+
+    p = profile(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_linenumber", "l_returnflag"],
+    )
+    return p.select(
+        F.col("column").alias("col_name"),
+        "count_values",
+        "null_count",
+        "distinct_values",
+        "min_value",
+        "max_value",
+        "num_zeros",
+        "num_negatives",
+        F.round("avg", 6).alias("avg_rounded"),
+    )
+
+
+def _q_word_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.stats import word_stats
+
+    return word_stats(_read(spark, sf_dir, "documents"), "text")
+
+
+def _q_top_words_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.stats import top_k_words
+
+    return top_k_words(_read(spark, sf_dir, "documents"), "text", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -95,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "afd_metrics_lineitem": _q_afd_metrics_lineitem,
         "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
+        "stats_profile_lineitem": _q_stats_profile_lineitem,
+        "word_stats_documents": _q_word_stats_documents,
+        "top_words_documents": _q_top_words_documents,
     }
 
 
@@ -217,6 +254,62 @@ FROM events l
 WHERE l.user_id IS NOT NULL
   AND l.user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
 GROUP BY l.user_id
+""",
+        "stats_profile_lineitem": """
+SELECT 'l_quantity' AS col_name,
+       CAST(count(l_quantity) AS BIGINT) AS count_values,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS distinct_values,
+       CAST(min(l_quantity) AS VARCHAR) AS min_value,
+       CAST(max(l_quantity) AS VARCHAR) AS max_value,
+       CAST(sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_zeros,
+       CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_negatives,
+       round(avg(l_quantity), 6) AS avg_rounded
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber',
+       CAST(count(l_linenumber) AS BIGINT),
+       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+       CAST(min(l_linenumber) AS VARCHAR),
+       CAST(max(l_linenumber) AS VARCHAR),
+       CAST(sum(CASE WHEN l_linenumber = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_linenumber < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(l_linenumber), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag',
+       CAST(count(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag <> ''
+                       THEN 1 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN l_returnflag <> '' THEN l_returnflag END)
+            AS BIGINT),
+       CAST(min(CASE WHEN l_returnflag <> '' THEN l_returnflag END) AS VARCHAR),
+       CAST(max(CASE WHEN l_returnflag <> '' THEN l_returnflag END) AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM lineitem
+""",
+        "word_stats_documents": """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT CAST(count(DISTINCT word) AS BIGINT) AS distinct_words,
+       CAST(count(*) AS BIGINT) AS total_words
+FROM w WHERE word <> ''
+""",
+        "top_words_documents": """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+c AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+r AS (SELECT word, CAST(freq AS BIGINT) AS freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS INT) AS rank
+      FROM c)
+SELECT word, freq, rank FROM r WHERE rank <= 10
 """,
     }
 

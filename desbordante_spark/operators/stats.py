@@ -1,0 +1,254 @@
+"""Column statistics profiler (DataStats equivalent).
+
+Reference: one algorithm computes ~30 per-column statistics
+(/root/reference/src/core/algorithms/statistics/data_stats.{h,cpp}, result
+struct statistic.h:30-43, Python surface bind_statistics.cpp:66-168),
+parallelized column-wise with a thread pool (data_stats.cpp:917-924).
+
+Semantics preserved:
+- Nulls AND empty strings are excluded from value statistics
+  (data_stats.h:117-118 DeleteNullAndEmpties; kNull vs kEmpty duality,
+  model/types/builtin.h:34-40). ``null_count`` / ``empty_count`` report them.
+- ``is_categorical`` = distinct <= threshold heuristic (data_stats.cpp:911-913).
+- Word statistics split on whitespace (data_stats.h:38-40); entirely-upper /
+  entirely-lowercase word counts (data_stats.h:33-36).
+
+Spark-first design: the reference profiles column-by-column over an in-memory
+typed table with one thread per column. Here ALL columns are profiled in a
+SINGLE scan — one wide aggregation row (Catalyst computes every aggregate in
+one whole-stage-codegen pass, partial agg map-side), reshaped to one row per
+column via an inline explode. ``distinct_mode='approx'`` switches
+countDistinct to the HLL++ sketch (approx_count_distinct) — mandatory at
+10^12-row scale per the north rule; quantiles similarly switch between exact
+``percentile`` and ``percentile_approx``.
+
+Heavy value-enumeration stats (word/char vocabularies, top-k) are separate
+explode-based operators, mirroring the reference's on-demand getters
+(data_stats.h:136,162-164).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "profile",
+    "word_stats",
+    "top_k_words",
+    "top_k_chars",
+    "char_vocab",
+    "table_stats",
+]
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
+                 categorical_threshold: int, quantile_accuracy: int):
+    v = F.col(c)
+    is_num = isinstance(dtype, _NUMERIC)
+    is_str = isinstance(dtype, T.StringType)
+    is_null = v.isNull()
+    is_empty = (v == "") if is_str else F.lit(False)
+    vv = F.when(~is_null & ~is_empty, v)  # valid values, else SQL NULL
+    d = vv.cast("double") if is_num else F.lit(None).cast("double")
+    ln = F.length(vv) if is_str else F.lit(None).cast("int")
+
+    if distinct_mode == "approx":
+        distinct = F.approx_count_distinct(vv)
+    else:
+        distinct = F.count_distinct(vv)
+
+    if is_num:
+        quantiles = F.percentile_approx(
+            d, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(quantile_accuracy),
+        )
+    else:
+        quantiles = F.lit(None).cast("array<double>")
+
+    words = (
+        F.split(F.trim(vv), r"\s+") if is_str else F.lit(None).cast("array<string>")
+    )
+    n_words = F.when(F.trim(vv) == "", 0).otherwise(F.size(words)) if is_str else F.lit(None).cast("int")
+
+    fields = [
+        F.lit(c).alias("column"),
+        F.lit(dtype.simpleString()).alias("dtype"),
+        F.count(vv).cast("long").alias("count_values"),
+        F.sum(is_null.cast("long")).alias("null_count"),
+        F.sum(is_empty.cast("long")).alias("empty_count"),
+        distinct.cast("long").alias("distinct_values"),
+        (distinct <= categorical_threshold).alias("is_categorical"),
+        F.min(vv).cast("string").alias("min_value"),
+        F.max(vv).cast("string").alias("max_value"),
+        # numeric block (data_stats.h:59,78-112)
+        F.sum(d).alias("sum"),
+        F.avg(d).alias("avg"),
+        F.stddev_samp(d).alias("stddev"),
+        F.skewness(d).alias("skewness"),
+        F.kurtosis(d).alias("kurtosis"),
+        F.sum(d * d).alias("sum_of_squares"),
+        (F.sum(F.when(d > 0, F.log(d))) / F.sum(F.when(d > 0, 1))).alias(
+            "log_mean_positive"
+        ),
+        (
+            F.sum(F.when(d == 0, 1).otherwise(0)) if is_num
+            else F.lit(None)
+        ).cast("long").alias("num_zeros"),
+        (
+            F.sum(F.when(d < 0, 1).otherwise(0)) if is_num
+            else F.lit(None)
+        ).cast("long").alias("num_negatives"),
+        quantiles.alias("quantiles"),
+        # string block (data_stats.h:38-53)
+        F.sum(ln.cast("long")).alias("num_chars"),
+        F.avg(ln.cast("double")).alias("avg_chars"),
+        F.min(ln).cast("long").alias("min_chars"),
+        F.max(ln).cast("long").alias("max_chars"),
+        F.sum(n_words.cast("long")).alias("num_words"),
+        F.min(n_words).cast("long").alias("min_words"),
+        F.max(n_words).cast("long").alias("max_words"),
+        (
+            F.sum(
+                F.size(
+                    F.filter(words, lambda w: (w == F.upper(w)) & (w != F.lower(w)))
+                ).cast("long")
+            )
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_entirely_uppercase_words"),
+        (
+            F.sum(
+                F.size(
+                    F.filter(words, lambda w: (w == F.lower(w)) & (w != F.upper(w)))
+                ).cast("long")
+            )
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_entirely_lowercase_words"),
+        (
+            F.sum(F.length(F.regexp_replace(vv, r"[A-Za-z]", "")).cast("long"))
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_non_letter_chars"),
+        (
+            F.sum(F.length(F.regexp_replace(vv, r"[^0-9]", "")).cast("long"))
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_digit_chars"),
+    ]
+    return F.struct(*fields)
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    distinct_mode: str = "exact",
+    categorical_threshold: int = 50,
+    quantile_accuracy: int = 10000,
+) -> DataFrame:
+    """Profile columns in one scan → long-format DataFrame, one row per column.
+
+    ``distinct_mode``: 'exact' (count_distinct) or 'approx' (HLL++ sketch) —
+    use 'approx' at scale. Quantiles always use the percentile_approx sketch
+    (mergeable, single-pass; accuracy knob trades memory for error).
+    """
+    cols = list(columns) if columns else df.columns
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    structs = [
+        _stat_struct(c, dtypes[c], distinct_mode, categorical_threshold,
+                     quantile_accuracy)
+        for c in cols
+    ]
+    wide = df.agg(F.array(*structs).alias("stats"))
+    return wide.select(F.explode("stats").alias("s")).select("s.*")
+
+
+def word_stats(df: DataFrame, column: str) -> DataFrame:
+    """Distinct-word summary for one string column: one row
+    ``(distinct_words, total_words)`` over whitespace-split words of non-null,
+    non-empty values (data_stats.h:38-40)."""
+    words = _exploded_words(df, column)
+    return words.agg(
+        F.count_distinct("word").cast("long").alias("distinct_words"),
+        F.count("word").cast("long").alias("total_words"),
+    )
+
+
+def _exploded_words(df: DataFrame, column: str) -> DataFrame:
+    v = F.col(column)
+    valid = v.isNotNull() & (F.trim(v) != "")
+    return (
+        df.filter(valid)
+        .select(F.explode(F.split(F.trim(v), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def top_k_words(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent words (data_stats.h:162-164). Deterministic
+    tie-break: frequency desc, then word asc."""
+    counts = _exploded_words(df, column).groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("word", "freq", "rank")
+    )
+
+
+def top_k_chars(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent characters of non-null, non-empty values."""
+    v = F.col(column)
+    chars = (
+        df.filter(v.isNotNull() & (v != ""))
+        .select(F.explode(F.split(v, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("ch").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("ch", "freq", "rank")
+    )
+
+
+def char_vocab(df: DataFrame, column: str) -> list[str]:
+    """Sorted distinct characters (data_stats.h:136). Driver-side small."""
+    v = F.col(column)
+    rows = (
+        df.filter(v.isNotNull() & (v != ""))
+        .select(F.explode(F.split(v, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def table_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Table-level summary derived from the per-column profile
+    (data_stats.cpp:937-958): per column, whether it has nulls, is all
+    null/empty, or is all-unique."""
+    p = profile(df, columns)
+    total = df.count()
+    return p.select(
+        "column",
+        (F.col("null_count") > 0).alias("has_nulls"),
+        (F.col("count_values") == 0).alias("all_null_or_empty"),
+        (
+            (F.col("distinct_values") == F.col("count_values"))
+            & (F.col("count_values") == F.lit(total))
+        ).alias("all_unique"),
+    )
