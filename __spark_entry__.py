@@ -119,6 +119,44 @@ def _q_top_words_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_words(_read(spark, sf_dir, "documents"), "text", k=10)
 
 
+def _q_drift_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.drift import drift_metrics, histogram_sketch
+
+    sketch = histogram_sketch(
+        _read(spark, sf_dir, "events"), "value", "event_type", bucket_width=10.0
+    )
+    return drift_metrics(sketch, ks_threshold=0.1)
+
+
+def _q_span_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interleaved table is synthesized (deterministic, FIXTURES.md F1) — no
+    # flat-SQL equivalent, driver records the rows-only check; exact golden
+    # coverage lives in tests/test_interleaved.py
+    from desbordante_spark.operators.span_invariant import span_wellformed_violations
+    from desbordante_spark.sources.interleaved import generate_documents
+
+    docs = generate_documents(spark, 20_000)
+    return span_wellformed_violations(docs)
+
+
+def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-rule referential check: span media_refs → broadcast media catalog
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.ind import ind_metrics_df
+    from desbordante_spark.sources.interleaved import (
+        generate_documents,
+        generate_media_catalog,
+    )
+
+    docs = generate_documents(spark, 20_000)
+    refs = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.media_ref").alias("media_ref")
+    )
+    catalog = generate_media_catalog(spark, max(100, 20_000 // 10))
+    return ind_metrics_df(refs, ["media_ref"], catalog, ["media_ref"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -132,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": _q_stats_profile_lineitem,
         "word_stats_documents": _q_word_stats_documents,
         "top_words_documents": _q_top_words_documents,
+        "drift_events_by_type": _q_drift_events_by_type,
+        "span_invariant_violations": _q_span_invariant_violations,
+        "referential_media_catalog": _q_referential_media_catalog,
     }
 
 
@@ -310,6 +351,55 @@ r AS (SELECT word, CAST(freq AS BIGINT) AS freq,
              CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS INT) AS rank
       FROM c)
 SELECT word, freq, rank FROM r WHERE rank <= 10
+""",
+        "drift_events_by_type": """
+WITH b AS (
+  SELECT event_type AS partition,
+         CAST(CAST(floor(value / 10.0) AS BIGINT) AS VARCHAR) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT bucket, sum(cnt) AS tb FROM b GROUP BY 1),
+grid AS (SELECT p.partition, t.bucket, t.tb
+         FROM (SELECT DISTINCT partition FROM b) p CROSS JOIN tot t),
+g AS (SELECT grid.partition, grid.bucket,
+             coalesce(b.cnt, 0) AS o1,
+             grid.tb - coalesce(b.cnt, 0) AS o2
+      FROM grid LEFT JOIN b
+        ON b.partition = grid.partition AND b.bucket = grid.bucket),
+g2 AS (SELECT *,
+              sum(o1) OVER (PARTITION BY partition) AS n1,
+              sum(o2) OVER (PARTITION BY partition) AS n2
+       FROM g),
+g3 AS (SELECT *,
+              abs(CAST(sum(o1) OVER w AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(sum(o2) OVER w AS DOUBLE) / CAST(n2 AS DOUBLE))
+                AS cdf_diff,
+              CASE WHEN o1 + o2 > 0 THEN
+                (CAST(o1 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                * (CAST(o1 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                +
+                (CAST(o2 AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                * (CAST(o2 AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              ELSE 0.0 END AS chi2_term
+       FROM g2
+       WINDOW w AS (PARTITION BY partition
+                    ORDER BY coalesce(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+                    ROWS UNBOUNDED PRECEDING)),
+m AS (SELECT partition,
+             CAST(max(n1) AS BIGINT) AS n_rows,
+             CAST(max(n2) AS BIGINT) AS n_baseline,
+             max(cdf_diff) AS ks_stat,
+             sum(chi2_term) AS chi2_stat
+      FROM g3 GROUP BY partition)
+SELECT partition, n_rows, n_baseline, ks_stat, chi2_stat,
+       CAST(CASE WHEN ks_stat > 0.1 THEN 1 ELSE 0 END AS INT) AS drifted
+FROM m WHERE n_rows > 0
 """,
     }
 

@@ -1,0 +1,153 @@
+"""Distribution-drift detection between partitions (KS / chi-square).
+
+North-rule extension (BASELINE.json): histogram sketches per column per
+partition snapshot, with two-sample Kolmogorov–Smirnov and chi-square
+statistics between a partition and the rest of the table (or a designated
+baseline partition). Not present in the reference — built from the same
+aggregate machinery as its statistics module (SURVEY.md §2.4 note).
+
+Scale design: the only data-sized job is ONE ``groupBy(partition, bucket)``
+count (map-side partial agg; output is |partitions| × |buckets| rows — tiny).
+Everything downstream (grid completion, CDFs via windows, KS sup-distance,
+chi-square terms) runs on that sketch, so the cost is independent of row
+count. No UDFs, no driver loops.
+
+Bucketing modes:
+- ``bucket_width`` — fixed-width buckets ``floor(value / width)``; no global
+  pass needed; deterministic across engines (used by the DuckDB oracle).
+- ``bins`` — equi-width over the observed [min, max] (one tiny extra agg).
+- ``discrete`` — the value itself is the bucket (exact for ints/categories).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["histogram_sketch", "drift_metrics"]
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    bucket_width: float | None = None,
+    bins: int | None = None,
+    discrete: bool = False,
+) -> DataFrame:
+    """Per-partition histogram: ``(partition, bucket, cnt)``; null values are
+    dropped (they carry no position in the distribution)."""
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    if discrete:
+        bucket = v.cast("string")
+    elif bucket_width is not None:
+        bucket = F.floor(v / F.lit(bucket_width)).cast("string")
+    else:
+        bins = bins or 20
+        mm = base.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        width = (hi - lo) / bins or 1.0
+        bucket = F.least(
+            F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        ).cast("string")
+    return (
+        base.groupBy(F.col(partition_col).alias("partition"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_metrics(
+    sketch: DataFrame,
+    baseline_partition: str | None = None,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-partition drift verdict from a histogram sketch.
+
+    Each partition is compared against the baseline distribution —
+    ``baseline_partition`` if given, else *all other partitions combined*.
+    Output: ``(partition, n_rows, n_baseline, ks_stat, chi2_stat, drifted)``.
+
+    Two-sample statistics over shared buckets: KS = sup |CDF_p − CDF_b|
+    (buckets ordered by numeric value when castable, else lexically);
+    chi² = Σ_b (O_pb−E_pb)²/E_pb + (O_bb−E_bb)²/E_bb with expected counts
+    proportional to the pooled bucket mass. All arithmetic is exact integer
+    ratios → engine-independent.
+    """
+    counts = sketch
+    if baseline_partition is not None:
+        base_counts = (
+            counts.filter(F.col("partition") == baseline_partition)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("bcnt"))
+        )
+        part_counts = counts.filter(F.col("partition") != baseline_partition)
+        # grid: every (partition, bucket-with-any-mass) pair
+        grid = (
+            part_counts.select("partition").distinct()
+            .crossJoin(
+                counts.groupBy("bucket").agg(F.sum("cnt").alias("_tb")).select("bucket")
+            )
+        )
+        g = (
+            grid.join(part_counts, ["partition", "bucket"], "left")
+            .join(base_counts, ["bucket"], "left")
+            .select(
+                "partition",
+                "bucket",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("o1"),
+                F.coalesce(F.col("bcnt"), F.lit(0)).alias("o2"),
+            )
+        )
+    else:
+        tot = counts.groupBy("bucket").agg(F.sum("cnt").alias("tb"))
+        grid = counts.select("partition").distinct().crossJoin(tot)
+        g = (
+            grid.join(counts, ["partition", "bucket"], "left")
+            .select(
+                "partition",
+                "bucket",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("o1"),
+                (F.col("tb") - F.coalesce(F.col("cnt"), F.lit(0))).alias("o2"),
+            )
+        )
+
+    wp = Window.partitionBy("partition")
+    g = g.withColumn("n1", F.sum("o1").over(wp)).withColumn(
+        "n2", F.sum("o2").over(wp)
+    )
+    # order buckets numerically when possible, else lexically
+    order_key = F.coalesce(
+        F.col("bucket").cast("double"),
+        F.lit(float("inf")),
+    )
+    wcum = wp.orderBy(order_key, F.col("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = g.withColumn(
+        "cdf_diff",
+        F.abs(
+            F.sum("o1").over(wcum) / F.col("n1")
+            - F.sum("o2").over(wcum) / F.col("n2")
+        ),
+    )
+    pooled = (F.col("o1") + F.col("o2")).cast("double")
+    e1 = F.col("n1") * pooled / (F.col("n1") + F.col("n2"))
+    e2 = F.col("n2") * pooled / (F.col("n1") + F.col("n2"))
+    d1 = F.col("o1") - e1
+    d2 = F.col("o2") - e2
+    term = F.when(
+        pooled > 0, d1 * d1 / e1 + d2 * d2 / e2
+    ).otherwise(F.lit(0.0))
+    g = g.withColumn("chi2_term", term)
+    return (
+        g.groupBy("partition")
+        .agg(
+            F.max("n1").cast("long").alias("n_rows"),
+            F.max("n2").cast("long").alias("n_baseline"),
+            F.max("cdf_diff").alias("ks_stat"),
+            F.sum("chi2_term").alias("chi2_stat"),
+        )
+        .withColumn("drifted", (F.col("ks_stat") > ks_threshold).cast("int"))
+        .filter(F.col("n_rows") > 0)
+    )
