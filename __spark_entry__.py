@@ -157,6 +157,39 @@ def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ind_metrics_df(refs, ["media_ref"], catalog, ["media_ref"])
 
 
+def _q_od_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.od import od_violations
+
+    return od_violations(
+        _read(spark, sf_dir, "lineitem"), "l_linenumber", "l_quantity",
+        context=["l_orderkey"],
+    )
+
+
+def _q_mfd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.mfd import mfd_cluster_diameters
+
+    diam = mfd_cluster_diameters(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_totalprice"]
+    )
+    return diam.filter(F.col("diameter") > 50000.0).select(
+        "o_custkey", "cluster_size", "diameter"
+    )
+
+
+def _q_cfd_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.cfd import cfd_metrics_df
+
+    return cfd_metrics_df(
+        _read(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderpriority"],
+        pattern={"o_orderstatus": "F"},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -173,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_by_type": _q_drift_events_by_type,
         "span_invariant_violations": _q_span_invariant_violations,
         "referential_media_catalog": _q_referential_media_catalog,
+        "od_violations_lineitem": _q_od_violations_lineitem,
+        "mfd_violations_orders": _q_mfd_violations_orders,
+        "cfd_metrics_orders": _q_cfd_metrics_orders,
     }
 
 
@@ -400,6 +436,59 @@ m AS (SELECT partition,
 SELECT partition, n_rows, n_baseline, ks_stat, chi2_stat,
        CAST(CASE WHEN ks_stat > 0.1 THEN 1 ELSE 0 END AS INT) AS drifted
 FROM m WHERE n_rows > 0
+""",
+        "od_violations_lineitem": """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(count(*) AS BIGINT) AS group_size,
+         min(l_quantity) AS min_rhs,
+         max(l_quantity) AS max_rhs
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY l_orderkey, l_linenumber),
+w AS (
+  SELECT *, max(max_rhs) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_max_rhs
+  FROM g)
+SELECT l_orderkey, l_linenumber, group_size, min_rhs, prev_max_rhs
+FROM w WHERE prev_max_rhs > min_rhs
+""",
+        "mfd_violations_orders": """
+WITH d AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cluster_size,
+         coalesce(max(o_totalprice) - min(o_totalprice), 0.0) AS diameter
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, cluster_size, diameter FROM d WHERE diameter > 50000.0
+""",
+        "cfd_metrics_orders": """
+WITH sub AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+l1 AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+       FROM sub GROUP BY o_custkey, o_orderpriority),
+l2 AS (SELECT o_custkey,
+              CAST(sum(cnt) AS BIGINT) AS cluster_size,
+              CAST(count(*) AS BIGINT) AS num_distinct_rhs,
+              CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS eq_pairs2x
+       FROM l1 GROUP BY o_custkey),
+m AS (
+  SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS support,
+         CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS num_violating_clusters,
+         CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN cluster_size
+                                ELSE 0 END), 0) AS BIGINT) AS num_violating_rows,
+         CAST(coalesce(sum(cluster_size * (cluster_size - 1) - eq_pairs2x), 0)
+              AS BIGINT) AS conflicts
+  FROM l2),
+e AS (SELECT support, num_violating_clusters, num_violating_rows,
+             CASE WHEN support > 1
+                  THEN CAST(conflicts AS DOUBLE)
+                       / CAST(support * support - support AS DOUBLE)
+                  ELSE 0.0 END AS error
+      FROM m)
+SELECT support, num_violating_clusters, num_violating_rows, error,
+       1.0 - error AS confidence,
+       CAST(CASE WHEN num_violating_clusters = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM e
 """,
     }
 

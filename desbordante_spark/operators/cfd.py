@@ -1,0 +1,121 @@
+"""Conditional-FD verification.
+
+Reference context (/root/reference/src/core/algorithms/cfd/): CFDs are FDs
+that hold on the subset of rows matching a pattern tableau — patterns bind
+columns to constants or wildcards (``_``); discovery is an itemset-lattice
+DFS (fd_first_dfs, options cfd_minsup/cfd_minconf, config/names.h:46-51).
+
+Verification maps directly: filter to the pattern's rows, then run the FD/AFD
+machinery (Catalyst pushes the pattern predicate into the scan). A constant
+RHS pattern additionally requires the RHS to equal the bound constant.
+Support = matching-row count; confidence = 1 − g1 error (maps to cfd_minconf).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from desbordante_spark.model import FDResult
+from desbordante_spark.operators.fd import fd_metrics_df, fd_violations
+
+__all__ = ["cfd_verify", "cfd_metrics_df"]
+
+WILDCARD = "_"
+
+
+def _apply_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> DataFrame:
+    out = df
+    for col, val in pattern.items():
+        if val == WILDCARD:
+            continue
+        out = out.filter(F.col(col) == F.lit(val))
+    return out
+
+
+def cfd_metrics_df(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    pattern: Mapping[str, Any] | None = None,
+    rhs_constant: Any = None,
+    error_threshold: float = 0.0,
+) -> DataFrame:
+    """One-row verdict DataFrame for the CFD: FD metrics on the
+    pattern-filtered subset, plus ``support``/``confidence`` columns."""
+    sub = _apply_pattern(df, pattern or {})
+    if rhs_constant is not None:
+        if len(rhs) != 1:
+            raise ValueError("rhs_constant requires a single RHS column")
+        # constant CFD: every matching row must carry the constant — model as
+        # FD onto the boolean mismatch flag being constant-false; simpler:
+        # metrics computed directly
+        n = F.count(F.lit(1))
+        bad = F.sum((~F.col(rhs[0]).eqNullSafe(F.lit(rhs_constant))).cast("long"))
+        agg = sub.agg(
+            n.cast("long").alias("support"),
+            F.coalesce(bad, F.lit(0)).cast("long").alias("num_violating_rows"),
+        )
+        return agg.select(
+            "support",
+            "num_violating_rows",
+            F.when(
+                F.col("support") > 0,
+                1.0 - F.col("num_violating_rows").cast("double")
+                / F.col("support").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("confidence"),
+            (F.col("num_violating_rows") == 0).cast("int").alias("holds"),
+        )
+    m = fd_metrics_df(sub, lhs, rhs, error_threshold)
+    return m.select(
+        F.col("total_rows").alias("support"),
+        "num_violating_clusters",
+        "num_violating_rows",
+        "error",
+        (1.0 - F.col("error")).alias("confidence"),
+        "holds",
+    )
+
+
+def cfd_verify(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    pattern: Mapping[str, Any] | None = None,
+    rhs_constant: Any = None,
+    error_threshold: float = 0.0,
+) -> FDResult:
+    """CFD verdict: FD result over the pattern subset (variable CFD) or
+    constant-agreement result (constant CFD)."""
+    row = cfd_metrics_df(
+        df, lhs, rhs, pattern, rhs_constant, error_threshold
+    ).collect()[0]
+    sub = _apply_pattern(df, pattern or {})
+    if rhs_constant is not None:
+        viol = sub.filter(~F.col(rhs[0]).eqNullSafe(F.lit(rhs_constant)))
+        return FDResult(
+            holds=bool(row["holds"]),
+            error=1.0 - float(row["confidence"]),
+            num_violating_clusters=int(row["num_violating_rows"] > 0),
+            num_violating_rows=int(row["num_violating_rows"]),
+            total_rows=int(row["support"]),
+            violations=viol,
+            lhs=tuple(lhs),
+            rhs=tuple(rhs),
+            details={"pattern": dict(pattern or {}), "rhs_constant": rhs_constant},
+        )
+    return FDResult(
+        holds=bool(row["holds"]),
+        error=float(row["error"]),
+        num_violating_clusters=int(row["num_violating_clusters"]),
+        num_violating_rows=int(row["num_violating_rows"]),
+        total_rows=int(row["support"]),
+        violations=fd_violations(sub, lhs, rhs),
+        lhs=tuple(lhs),
+        rhs=tuple(rhs),
+        details={"pattern": dict(pattern or {}),
+                 "error_threshold": error_threshold},
+    )
