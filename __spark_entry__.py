@@ -190,6 +190,65 @@ def _q_cfd_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8
+    )
+
+
+def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.functions.text import regex_token_count, token_count
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        regex_token_count("text").alias("n_regex_tokens"),
+    )
+
+
+def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.functions.text import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.functions.text import lang_id
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("pred_lang")
+    )
+
+
+def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    res = cosine_topk_bruteforce(q, emb, "vec_id", "vec_id", k=3)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -209,6 +268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_violations_lineitem": _q_od_violations_lineitem,
         "mfd_violations_orders": _q_mfd_violations_orders,
         "cfd_metrics_orders": _q_cfd_metrics_orders,
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "minhash_documents": _q_minhash_documents,
+        "simhash_documents": _q_simhash_documents,
+        "token_counts_documents": _q_token_counts_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "lang_id_documents": _q_lang_id_documents,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
     }
 
 
@@ -278,6 +344,74 @@ SELECT total_distinct, num_missing_values, num_violating_rows,
             ELSE 0.0 END AS error,
        CAST(CASE WHEN num_missing_values = 0 THEN 1 ELSE 0 END AS INT) AS holds
 FROM m
+"""
+
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    cols = ",\n       ".join(
+        f"min(md5('s{j}:' || w)) AS mh{j}" for j in range(num_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w
+           FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+d AS (SELECT DISTINCT doc_id, w FROM t WHERE w <> '')
+SELECT doc_id AS id, {cols} FROM d GROUP BY doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    chunks = []
+    for c in range(4):
+        terms = []
+        for j in range(16):
+            d = c * 4 + j // 4
+            k = j % 4
+            p = 2 ** (3 - k)
+            bit = (
+                f"(CAST(floor((strpos('0123456789abcdef', substr(md5(w), {d + 1}, 1))"
+                f" - 1) / {p}.0) AS BIGINT) % 2)"
+            )
+            terms.append(f"CASE WHEN sum({bit} * 2 - 1) > 0 THEN {2**j} ELSE 0 END")
+        chunks.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS sh{c}")
+    sel = ",\n       ".join(chunks)
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS w
+           FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+d AS (SELECT DISTINCT doc_id, w FROM t WHERE w <> '')
+SELECT doc_id AS id, {sel} FROM d GROUP BY doc_id
+"""
+
+
+def _lang_id_oracle() -> str:
+    from desbordante_spark.functions.text import STOPWORDS
+
+    ratios = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,"
+            f" x -> list_contains({arr}, lower(x)))) AS DOUBLE)"
+            f" / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_{lang}"
+        )
+    rs = ",\n       ".join(ratios)
+    return f"""
+WITH b AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, text, toks,
+       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+       {rs}
+      FROM b)
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 'unknown'
+            WHEN 2 * cjk >= length(text) THEN 'zh'
+            WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'unknown'
+            WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
+            WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
+            WHEN r_fr >= r_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM r
 """
 
 
@@ -489,6 +623,50 @@ SELECT support, num_violating_clusters, num_violating_rows, error,
        1.0 - error AS confidence,
        CAST(CASE WHEN num_violating_clusters = 0 THEN 1 ELSE 0 END AS INT) AS holds
 FROM e
+""",
+        "dedup_exact_documents": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt,
+       min(doc_id) AS min_id
+FROM documents WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "minhash_documents": _minhash_oracle(8),
+        "simhash_documents": _simhash_oracle(),
+        "token_counts_documents": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT)
+         AS n_regex_tokens
+FROM documents
+""",
+        "fingerprint_documents": f"""
+WITH w AS (SELECT doc_id, {_TOKS} AS toks
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+       CASE WHEN len(toks) >= 5 THEN
+         list_min(list_transform(range(1, len(toks) - 4 + 1),
+                                 i -> md5(array_to_string(toks[i:i+4], ' '))))
+       ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+FROM w
+""",
+        "lang_id_documents": _lang_id_oracle(),
+        "ann_topk_embeddings": """
+WITH e AS (SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (CASE WHEN q.nrm * c.nrm > 0 THEN q.nrm * c.nrm ELSE 1.0 END)
+               AS cosine
+      FROM q, e c WHERE q.vec_id <> c.vec_id),
+r AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, cosine_r, rank FROM r WHERE rank <= 3
 """,
     }
 

@@ -1,0 +1,151 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure JVM column expressions (built-in ``pyspark.sql.functions`` only —
+no UDFs) so they run inside whole-stage codegen at full scan speed:
+
+- ``token_count`` — whitespace tokens and a BPE-ish regex token count.
+- ``lang_id`` — n-gram/stopword-ratio heuristic over a small per-language
+  stopword table plus a CJK-codepoint check.
+- ``quality_features`` / ``quality_score`` — length, punctuation/digit/symbol
+  ratios, stopword ratio, mean word length → composite [0,1] score.
+- ``doc_fingerprint`` — deterministic document fingerprint: min-md5 over
+  rolling word 5-grams (robust to small edits near the ends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "regex_token_count",
+    "lang_id",
+    "quality_features",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+# compact, public-knowledge stopword shortlists (top function words)
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+           "on", "with", "as", "was", "at", "by", "be", "this", "are", "or"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "ist", "mit",
+           "nicht", "ein", "eine", "auf", "für", "im", "dem", "sich", "des"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "que",
+           "est", "pour", "dans", "qui", "au", "pas", "sur", "ne", "se"],
+    "es": ["el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+           "es", "del", "se", "por", "con", "no", "para", "su", "al"],
+}
+
+
+def tokens(col) -> F.Column:
+    """Whitespace token array of a text column (empty array for blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+
+def token_count(col) -> F.Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col, pattern: str = r"\w+|[^\w\s]") -> F.Column:
+    """BPE-ish token count: word pieces plus standalone punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def _stopword_ratio(toks: F.Column, lang: str) -> F.Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def lang_id(col) -> F.Column:
+    """Heuristic language id ∈ {en,de,fr,es,zh,unknown}.
+
+    CJK codepoints → zh; else the language whose stopword-hit ratio is
+    highest (ties broken in a fixed language order); all-zero → unknown.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    ratios = {lang: _stopword_ratio(toks, lang) for lang in STOPWORDS}
+    best = F.lit("unknown")
+    best_r = F.lit(0.0)
+    for lang in ("en", "de", "fr", "es"):  # fixed priority on ties
+        r = ratios[lang]
+        is_better = r > best_r
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_r = F.when(is_better, r).otherwise(best_r)
+    return (
+        F.when(c.isNull() | (F.trim(c) == ""), F.lit("unknown"))
+        .when(cjk * 2 >= F.length(c), F.lit("zh"))
+        .otherwise(best)
+    )
+
+
+def quality_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Per-doc quality feature row: ``(id, n_chars, n_tokens, mean_word_len,
+    punct_ratio, digit_ratio, alpha_ratio, stopword_ratio_en, upper_ratio)``.
+    Ratios are exact integer fractions."""
+    c = F.col(col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    n_of = lambda pat: F.length(F.regexp_replace(c, pat, ""))
+    return df.filter(c.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+            / F.size(toks).cast("double"),
+        ).otherwise(0.0).alias("mean_word_len"),
+        (n_of(r"[^\.,;:!\?'\"()\[\]-]").cast("double") / nz).alias("punct_ratio"),
+        (n_of(r"[^0-9]").cast("double") / nz).alias("digit_ratio"),
+        (n_of(r"[^A-Za-z]").cast("double") / nz).alias("alpha_ratio"),
+        _stopword_ratio(toks, "en").alias("stopword_ratio_en"),
+        (n_of(r"[^A-Z]").cast("double") / nz).alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Composite [0,1] quality score from the feature row: rewards
+    reasonable length and alpha density, penalizes digit/punct/upper excess.
+    Thresholds are heuristic (documented, deterministic)."""
+    f = quality_features(df, col, id_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / 20.0, F.lit(1.0))
+    alpha_score = F.col("alpha_ratio")
+    digit_pen = F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))
+    punct_pen = F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))
+    upper_pen = F.least(F.col("upper_ratio") * 2.0, F.lit(1.0))
+    score = (
+        0.4 * len_score + 0.4 * alpha_score
+        + 0.2 * (1.0 - (digit_pen + punct_pen + upper_pen) / 3.0)
+    )
+    return f.withColumn("quality", F.round(score, 6))
+
+
+def doc_fingerprint(df: DataFrame, col: str, id_col: str,
+                    window_words: int = 5) -> DataFrame:
+    """Deterministic doc fingerprint ``(id, fingerprint)``: lexicographic min
+    of md5 over rolling word n-grams (n = ``window_words``); whole-text md5
+    when shorter."""
+    c = F.col(col)
+    toks = tokens(c)
+    n = window_words
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return df.filter(c.isNotNull()).select(
+        F.col(id_col).alias("id"), fp.alias("fingerprint")
+    )

@@ -1,0 +1,202 @@
+"""Embedding similarity search (brute-force exact + LSH-bucketed scale path).
+
+Training-data pipeline mandate (BASELINE.json): approximate-nearest-neighbor
+over an ``array<float>`` embedding column.
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast the query
+  set, score every (query, corpus) pair with a JVM-side
+  ``aggregate(zip_with(...))`` dot product (no Python in the hot path), rank
+  per query with a window. Cost O(|Q|·|C|) — fine for |Q| small; at 100 TB
+  the corpus scan is embarrassingly parallel and shuffle-free until the
+  final per-query top-k (tiny after a per-partition pre-top-k; Spark's
+  window + filter does the global cut).
+- **Random-hyperplane LSH buckets** — the scale path: ``planes`` sign bits
+  from deterministic pseudo-random hyperplanes (components derived from
+  ``xxhash64(plane, dim)`` — no stored model, same buckets on any cluster).
+  Neighbor candidates come only from the query's bucket (plus optional
+  multi-probe by flipping one bit), then exact cosine re-scoring. Recall is
+  tunable via planes/probes; the candidate join is a hash join on bucket id.
+- **Embedding near-dup pairs** — all corpus pairs in the same bucket with
+  cosine ≥ threshold (the embedding-cosine dedup entry of the suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_topk_bruteforce",
+    "lsh_bucket",
+    "cosine_topk_lsh",
+    "embedding_near_dup_pairs",
+]
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k: ``(query_id, neighbor_id, cosine, rank)``.
+
+    Deterministic ranking: cosine desc, neighbor id asc on ties.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    j = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
+         .otherwise(F.lit(1.0))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket(
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+) -> F.Column:
+    """Random-hyperplane bucket id (int column expression). Plane ``p``'s
+    component ``i`` is ``(xxhash64(p, i, seed) % 2001 − 1000) / 1000`` —
+    deterministic, computed inline, never materialized."""
+    v = F.col(vec_col)
+    bucket = F.lit(0)
+    for p in range(planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+        s = _dot(v, plane)
+        bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k: candidates from the query's hyperplane bucket (plus, with
+    ``multiprobe``, all buckets at Hamming distance 1), exact cosine
+    re-scoring. Same output schema as the brute-force path."""
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(vec_col, planes, seed).alias("b"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("b"), *[F.col("b").bitwiseXOR(F.lit(2**p)) for p in range(planes)]
+        )
+        qb = qb.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb.select("query_id", "qv", F.col("b").alias("bucket"))
+    qb = qb.withColumn("qn", _norm(F.col("qv")))
+    cb = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(vec_col, planes, seed).alias("bucket"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    j = F.broadcast(qb).join(cb, "bucket")
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
+         .otherwise(F.lit(1.0))).alias("cosine"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates ``(id_a, id_b, cosine)``: candidates
+    within an LSH bucket, exact cosine ≥ threshold. Oversized buckets are
+    dropped (cap policy, same as MinHash-LSH)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes, seed).alias("bucket"),
+    ).withColumn("n", _norm(F.col("v")))
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    base = base.join(
+        F.broadcast(sizes.filter(F.col("bsz") <= max_bucket)), "bucket"
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    scored = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (_dot(F.col("a.v"), F.col("b.v"))
+         / F.when(F.col("a.n") * F.col("b.n") > 0, F.col("a.n") * F.col("b.n"))
+         .otherwise(F.lit(1.0))).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
