@@ -134,13 +134,17 @@ def fd_metrics_df(
     error_threshold: float = 0.0,
     is_null_equal_null: bool = True,
     row_id: str | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """One-row verdict DataFrame (no action):
-    ``(total_rows, num_violating_clusters, num_violating_rows, error, holds)``
-    with g1 error and int holds, cross-engine comparable."""
-    stats = _cluster_stats(df, lhs, rhs, is_null_equal_null, row_id)
+    """Verdict DataFrame (no action): ``(by..., total_rows,
+    num_violating_clusters, num_violating_rows, error, holds)`` — one row per
+    ``by`` group (per-partition verdicts), global single row when empty.
+    g1 error, int holds, cross-engine comparable."""
+    by = list(by)
+    stats = _cluster_stats(df, list(by) + list(lhs), rhs, is_null_equal_null,
+                           row_id)
     viol = F.col("num_distinct_rhs") > 1
-    agg = stats.agg(
+    agg = stats.groupBy(*by).agg(
         F.coalesce(F.sum("cluster_size"), F.lit(0)).cast("long").alias("total_rows"),
         F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
         .cast("long").alias("num_violating_clusters"),
@@ -167,8 +171,8 @@ def fd_metrics_df(
     return (
         agg.withColumn("error", err)
         .withColumn("holds", holds.cast("int"))
-        .select("total_rows", "num_violating_clusters", "num_violating_rows",
-                "error", "holds")
+        .select(*by, "total_rows", "num_violating_clusters",
+                "num_violating_rows", "error", "holds")
     )
 
 

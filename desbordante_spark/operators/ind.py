@@ -64,9 +64,12 @@ def ind_metrics_df(
     rhs: Sequence[str],
     error_threshold: float = 0.0,
     broadcast_rhs: bool = True,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """One-row verdict DataFrame (no action):
-    ``(total_distinct, num_missing_values, num_violating_rows, error, holds)``.
+    """Verdict DataFrame (no action): ``(by..., total_distinct,
+    num_missing_values, num_violating_rows, error, holds)`` — one row per
+    ``by`` group of the LHS table (per-partition verdicts), global single row
+    when empty.
 
     A left join against the distinct RHS domain (broadcast when it's a
     dimension) classifies each distinct LHS value in one pass — no separate
@@ -74,9 +77,10 @@ def ind_metrics_df(
     """
     lhs = list(lhs)
     rhs = list(rhs)
+    by = list(by)
     left = (
         _nn(lhs_df, lhs)
-        .groupBy(*lhs)
+        .groupBy(*by, *lhs)
         .agg(F.count(F.lit(1)).alias("ref_count"))
         .alias("l")
     )
@@ -86,7 +90,7 @@ def ind_metrics_df(
     cond = [F.col(f"l.{a}") == F.col(f"r.{b}") for a, b in zip(lhs, rhs)]
     joined = left.join(right, cond, "left")
     miss = F.col(f"r.{rhs[0]}").isNull()
-    agg = joined.agg(
+    agg = joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in by]).agg(
         F.count(F.lit(1)).cast("long").alias("total_distinct"),
         F.coalesce(F.sum(F.when(miss, 1).otherwise(0)), F.lit(0))
         .cast("long").alias("num_missing_values"),
@@ -106,8 +110,8 @@ def ind_metrics_df(
     return (
         agg.withColumn("error", err)
         .withColumn("holds", holds.cast("int"))
-        .select("total_distinct", "num_missing_values", "num_violating_rows",
-                "error", "holds")
+        .select(*by, "total_distinct", "num_missing_values",
+                "num_violating_rows", "error", "holds")
     )
 
 

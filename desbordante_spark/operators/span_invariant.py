@@ -33,6 +33,7 @@ from desbordante_spark.model import VerificationResult
 __all__ = [
     "span_wellformed_violations",
     "span_invariant_verify",
+    "span_invariant_metrics_df",
     "span_sequence_equality",
 ]
 
@@ -83,6 +84,34 @@ def span_wellformed_violations(
         df.withColumn("reasons", reasons)
         .filter(F.size("reasons") > 0)
         .select(*id_cols, "reasons")
+    )
+
+
+def span_invariant_metrics_df(
+    df: DataFrame,
+    spans_col: str = "spans",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Verdict DataFrame (no action): ``(by..., total_rows,
+    num_violating_rows, error, holds)`` per ``by`` group (per-partition
+    verdicts), global single row when empty."""
+    by = list(by)
+    reasons = _wellformed_reasons(spans_col)
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("total_rows"),
+        F.coalesce(F.sum((F.size(reasons) > 0).cast("long")), F.lit(0))
+        .cast("long").alias("num_violating_rows"),
+    )
+    return agg.select(
+        *by,
+        "total_rows",
+        "num_violating_rows",
+        F.when(
+            F.col("total_rows") > 0,
+            F.col("num_violating_rows").cast("double")
+            / F.col("total_rows").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("error"),
+        (F.col("num_violating_rows") == 0).cast("int").alias("holds"),
     )
 
 

@@ -154,22 +154,26 @@ def profile(
     distinct_mode: str = "exact",
     categorical_threshold: int = 50,
     quantile_accuracy: int = 10000,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """Profile columns in one scan → long-format DataFrame, one row per column.
+    """Profile columns in one scan → long-format DataFrame, one row per
+    column (per ``by`` group when given — the north-rule per-partition
+    profile rows).
 
     ``distinct_mode``: 'exact' (count_distinct) or 'approx' (HLL++ sketch) —
     use 'approx' at scale. Quantiles always use the percentile_approx sketch
     (mergeable, single-pass; accuracy knob trades memory for error).
     """
-    cols = list(columns) if columns else df.columns
+    by = list(by)
+    cols = list(columns) if columns else [c for c in df.columns if c not in by]
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
     structs = [
         _stat_struct(c, dtypes[c], distinct_mode, categorical_threshold,
                      quantile_accuracy)
         for c in cols
     ]
-    wide = df.agg(F.array(*structs).alias("stats"))
-    return wide.select(F.explode("stats").alias("s")).select("s.*")
+    wide = df.groupBy(*by).agg(F.array(*structs).alias("stats"))
+    return wide.select(*by, F.explode("stats").alias("s")).select(*by, "s.*")
 
 
 def word_stats(df: DataFrame, column: str) -> DataFrame:

@@ -66,14 +66,18 @@ def ucc_metrics_df(
     columns: Sequence[str],
     is_null_equal_null: bool = True,
     error_threshold: float = 0.0,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """One-row verdict DataFrame (no action):
-    ``(total_rows, num_violating_clusters, num_violating_rows, error, holds)``.
-    ``holds`` is int (1/0) for cross-engine comparability."""
+    """Verdict DataFrame (no action):
+    ``(by..., total_rows, num_violating_clusters, num_violating_rows, error,
+    holds)`` — one row per ``by`` group (north-rule per-partition verdicts),
+    or a single global row when ``by`` is empty. ``holds`` is int (1/0) for
+    cross-engine comparability."""
+    by = list(by)
     base = _base(df, columns, is_null_equal_null)
-    counts = base.groupBy(*columns).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = base.groupBy(*by, *columns).agg(F.count(F.lit(1)).alias("cnt"))
     viol = F.col("cnt") > 1
-    agg = counts.agg(
+    agg = counts.groupBy(*by).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_rows"),
         F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
         .cast("long").alias("num_violating_clusters"),
@@ -94,8 +98,8 @@ def ucc_metrics_df(
     return (
         agg.withColumn("error", err)
         .withColumn("holds", holds.cast("int"))
-        .select("total_rows", "num_violating_clusters", "num_violating_rows",
-                "error", "holds")
+        .select(*by, "total_rows", "num_violating_clusters",
+                "num_violating_rows", "error", "holds")
     )
 
 

@@ -60,16 +60,19 @@ def generate_documents(
     idx = F.col("id")
     s = F.lit(seed)
 
-    part_num = F.pmod(_h(idx, s, F.lit("part")), F.lit(n_part_keys))
-    is_drift = (part_num == n_part_keys - 1) & F.lit(drift)
-    n_spans = F.when(
-        is_drift, F.lit(9) + F.pmod(_h(idx, s, F.lit("len2")), F.lit(8))
-    ).otherwise(F.lit(1) + F.pmod(_h(idx, s, F.lit("len")), F.lit(16)))
-
     dup_src = F.when(
         (idx < 2 * dup_pairs) & (idx % 2 == 1), idx - 1
     ).otherwise(idx)
     doc_id = F.format_string("doc%012d", dup_src)
+
+    # partition derives from the (post-dup) doc id, so duplicate rows land in
+    # the same partition — per-partition verdicts then see them (and that's
+    # how a real table partitioned by key behaves)
+    part_num = F.pmod(_h(dup_src, s, F.lit("part")), F.lit(n_part_keys))
+    is_drift = (part_num == n_part_keys - 1) & F.lit(drift)
+    n_spans = F.when(
+        is_drift, F.lit(9) + F.pmod(_h(idx, s, F.lit("len2")), F.lit(8))
+    ).otherwise(F.lit(1) + F.pmod(_h(idx, s, F.lit("len")), F.lit(16)))
 
     bad_offsets = (
         F.pmod(idx, F.lit(offset_viol_every)) == 7
