@@ -1,0 +1,209 @@
+"""Benchmark harness: headline operators at $SPARK_GRAFT_SF_DIR (default
+sf0.1) plus the north-rule interleaved-doc constraint suite on a generated
+table. Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}``
+
+Each query is forced end-to-end with the noop sink (full materialization, no
+result collection skew). Run: ``python bench.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+
+# headline operator queries (keys into __spark_entry__.queries())
+HEADLINE = [
+    "ucc_metrics_lineitem_pk",
+    "fd_metrics_orders",
+    "afd_metrics_lineitem",
+    "ind_metrics_lineitem_orders",
+    "stats_profile_lineitem",
+    "od_violations_lineitem",
+    "mfd_violations_orders",
+    "drift_events_by_type",
+    "top_words_documents",
+    "minhash_documents",
+    "simhash_documents",
+    "fingerprint_documents",
+    "lang_id_documents",
+    "ann_topk_embeddings",
+]
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
+    """North-rule suite over a freshly generated interleaved table:
+    uniqueness + span invariant + referential + drift, per-partition."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.drift import drift_metrics, histogram_sketch
+    from desbordante_spark.operators.ind import ind_metrics_df
+    from desbordante_spark.operators.span_invariant import (
+        span_invariant_metrics_df,
+    )
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    import shutil
+    import tempfile
+
+    timings: dict[str, float] = {}
+    t0 = time.monotonic()
+    own_stage = os.environ.get("SPARK_GRAFT_DOCS_DIR") is None
+    if own_stage:
+        stage_dir = tempfile.mkdtemp(prefix="bench_docs_")
+        stage_docs(spark, n_docs, stage_dir)
+    else:
+        stage_dir = os.environ["SPARK_GRAFT_DOCS_DIR"]
+    # staged parquet = the benchmark's stand-in for the Iceberg table; every
+    # constraint stage below does a real columnar scan (pruned to the columns
+    # it needs), which is what the engine does in production
+    docs = spark.read.parquet(f"{stage_dir}/documents")
+    catalog = spark.read.parquet(f"{stage_dir}/media_catalog")
+    timings["docs_generate"] = time.monotonic() - t0
+
+    refs = docs.select("part_key", F.explode("spans").alias("s")).select(
+        "part_key", F.col("s.media_ref").alias("media_ref")
+    )
+    stages = [
+        ("docs_uniqueness",
+         lambda: ucc_metrics_df(docs, ["doc_id"], by=["part_key"])),
+        ("docs_span_invariant",
+         lambda: span_invariant_metrics_df(docs, by=("part_key",))),
+        ("docs_referential",
+         lambda: ind_metrics_df(refs, ["media_ref"], catalog, ["media_ref"],
+                                by=["part_key"])),
+        ("docs_drift",
+         lambda: drift_metrics(
+             histogram_sketch(
+                 docs.withColumn("n_spans", F.size("spans")), "n_spans",
+                 "part_key", discrete=True,
+             ),
+             ks_threshold=0.2,
+         )),
+    ]
+    # warmup once (JIT/codegen, page cache), then min-of-k timed runs: the
+    # sandbox host shows large intermittent stalls (observed 5-10x outliers
+    # on identical inputs), so a single-shot timing measures host noise, not
+    # the plan; min-of-k measures steady-state capability
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+    for name, build in stages:
+        if warmup:
+            _force(build())
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t = time.monotonic()
+            _force(build())
+            best = min(best, time.monotonic() - t)
+        timings[name] = best
+
+    suite_sec = sum(v for k, v in timings.items() if k != "docs_generate")
+    if own_stage:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return suite_sec, timings
+
+
+def stage_docs(spark, n_docs: int, stage_dir: str, n_files: int = 64) -> None:
+    """Write the generated doc table + media catalog as parquet with a fixed
+    file layout (``n_files`` files, small row groups) so scans split evenly
+    at any parallelism level."""
+    from desbordante_spark.sources.interleaved import (
+        generate_documents,
+        generate_media_catalog,
+    )
+
+    n_media = max(1000, n_docs // 10)
+    (
+        generate_documents(spark, n_docs, n_media=n_media,
+                           n_partitions=n_files)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(f"{stage_dir}/documents")
+    )
+    (
+        generate_media_catalog(spark, n_media)
+        .write.mode("overwrite")
+        .parquet(f"{stage_dir}/media_catalog")
+    )
+
+
+def main() -> None:
+    from desbordante_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    # small split size so the staged bench parquet fans out to every core —
+    # at sf0.1 the inputs are tens of MB and the default 128 MB
+    # maxPartitionBytes would coalesce the scan to a handful of tasks,
+    # serializing the suite regardless of core count. (On a real cluster at
+    # 100 TB the default is right; this is a small-input knob.)
+    spark = get_spark(
+        app_name="desbordante-spark-bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
+
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "docs":
+        # docs-suite only (used by tools/scaling_bench.py at two parallelism
+        # levels to evidence the N-vs-4N scaling-efficiency criterion)
+        suite_sec, doc_timings = bench_doc_suite(spark, N_BENCH_DOCS)
+        print(
+            json.dumps(
+                {
+                    "metric": "doc_suite_wall_time",
+                    "value": round(suite_sec, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in doc_timings.items()},
+                    "sf": "generated",
+                    "docs_per_sec": round(N_BENCH_DOCS / suite_sec, 1),
+                    "n_bench_docs": N_BENCH_DOCS,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                }
+            )
+        )
+        return
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t_total = time.monotonic()
+    for name in HEADLINE:
+        t = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t, 3)
+
+    suite_sec, doc_timings = bench_doc_suite(spark, N_BENCH_DOCS)
+    timings.update({k: round(v, 3) for k, v in doc_timings.items()})
+    total = round(time.monotonic() - t_total, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "validation_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": round(N_BENCH_DOCS / suite_sec, 1),
+                "n_bench_docs": N_BENCH_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Algebraic-constraint discovery + verification.
+
+Reference (/root/reference/src/core/algorithms/algebraic_constraints/):
+samples row pairs, applies a binary operation (+,−,×,÷) to two numeric
+columns, sorts the sampled results and clusters them into disjoint ranges —
+a new range starts where the gap between consecutive sampled values exceeds
+``weight``-scaled average; rows whose binop value falls outside all ranges
+are exceptions (ac_algorithm.h:22-36, option names config/names.h:25-43:
+``bin_operation``, ``fuzziness``, ``p_fuzz``, ``weight``, ``ac_seed``).
+
+Spark-first: the sample is tiny (driver-side range construction is exact to
+the reference's approach); the exception scan is a full filter with the
+ranges inlined as a literal predicate — pushed into the scan by Catalyst.
+"""
+
+from __future__ import annotations
+
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ac_build_ranges", "ac_exceptions", "ac_verify"]
+
+_OPS = {
+    "+": operator.add,
+    "-": operator.sub,
+    "*": operator.mul,
+    "/": operator.truediv,
+}
+
+
+def _binop_col(col_a: str, col_b: str, op: str) -> F.Column:
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    if op == "+":
+        e = a + b
+    elif op == "-":
+        e = a - b
+    elif op == "*":
+        e = a * b
+    elif op == "/":
+        e = F.when(b != 0, a / b)
+    else:
+        raise ValueError(f"unknown bin_operation {op!r}")
+    return e
+
+
+def ac_build_ranges(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    op: str = "+",
+    sample_fraction: float = 0.1,
+    weight: float = 0.05,
+    seed: int = 42,
+) -> list[tuple[float, float]]:
+    """Sample the binop column and cluster sorted values into disjoint
+    [lo, hi] ranges; a gap wider than ``weight * (global span)`` starts a new
+    range (the reference's weight-bundling semantics)."""
+    vals = (
+        df.select(_binop_col(col_a, col_b, op).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .sample(fraction=sample_fraction, seed=seed)
+        .orderBy("v")
+        .collect()
+    )
+    xs = [r["v"] for r in vals]
+    if not xs:
+        return []
+    span = xs[-1] - xs[0] or 1.0
+    gap = weight * span
+    ranges: list[tuple[float, float]] = []
+    lo = prev = xs[0]
+    for x in xs[1:]:
+        if x - prev > gap:
+            ranges.append((lo, prev))
+            lo = x
+        prev = x
+    ranges.append((lo, prev))
+    return ranges
+
+
+def ac_exceptions(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    op: str,
+    ranges: list[tuple[float, float]],
+) -> DataFrame:
+    """Rows whose binop value lies outside every allowed range (the
+    reference's exception finder), with the offending value attached."""
+    v = _binop_col(col_a, col_b, op)
+    inside = F.lit(False)
+    for lo, hi in ranges:
+        inside = inside | ((v >= F.lit(lo)) & (v <= F.lit(hi)))
+    return df.withColumn("binop_value", v).filter(
+        F.col("binop_value").isNotNull() & ~inside
+    )
+
+
+def ac_verify(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    op: str = "+",
+    sample_fraction: float = 0.1,
+    weight: float = 0.05,
+    seed: int = 42,
+) -> dict:
+    """Discover ranges on a sample, verify on the full table. Returns
+    ``{ranges, num_exceptions, total_rows, exception_fraction,
+    exceptions (lazy DataFrame)}``."""
+    ranges = ac_build_ranges(df, col_a, col_b, op, sample_fraction, weight,
+                             seed)
+    exc = ac_exceptions(df, col_a, col_b, op, ranges)
+    v = _binop_col(col_a, col_b, op)
+    m = df.agg(
+        F.sum(v.isNotNull().cast("long")).alias("n"),
+    ).collect()[0]
+    n = int(m["n"] or 0)
+    n_exc = exc.count()
+    return {
+        "ranges": ranges,
+        "num_exceptions": n_exc,
+        "total_rows": n,
+        "exception_fraction": n_exc / n if n else 0.0,
+        "exceptions": exc,
+    }

@@ -1,0 +1,95 @@
+"""Structured-Streaming constraint verification.
+
+The reference is strictly batch (its "dynamic" path is batch micro-CRUD,
+dynamic_table_data.h:15-85); this module is the engine's streaming extension
+for continuously-arriving documents: the same constraint semantics expressed
+over ``readStream`` sources.
+
+- ``streaming_duplicate_alerts`` — stateful uniqueness: running count per
+  key (update mode); rows with count > 1 are live duplicate alerts. State is
+  bounded by watermarking on an event-time column when provided.
+- ``streaming_profile`` — windowed per-column stats (count/nulls/min/max/
+  avg) with a watermark for late data.
+- ``streaming_span_invariant`` — the span-sequence invariant is row-local,
+  so it applies to a stream unchanged (stateless projection/filter).
+
+All are plan builders: they take a streaming DataFrame and return a
+streaming DataFrame; the caller picks the sink (``writeStream``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "streaming_duplicate_alerts",
+    "streaming_profile",
+    "streaming_span_invariant",
+]
+
+
+def streaming_duplicate_alerts(
+    stream: DataFrame,
+    columns: Sequence[str],
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Running duplicate counts per key (update output mode). With
+    ``event_time_col`` the state is watermarked (and optionally windowed) so
+    it does not grow unboundedly — the streaming analog of the UCC verifier.
+    """
+    df = stream
+    keys = [F.col(c) for c in columns]
+    if event_time_col is not None:
+        df = df.withWatermark(event_time_col, watermark)
+        if window is not None:
+            keys = [F.window(F.col(event_time_col), window).alias("window"),
+                    *keys]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def streaming_profile(
+    stream: DataFrame,
+    value_col: str,
+    event_time_col: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed column profile (append mode once the watermark passes)."""
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window).alias("window"))
+        .agg(
+            F.count(v).alias("count_values"),
+            F.sum(v.isNull().cast("long")).alias("null_count"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.avg(v.cast("double")).alias("avg_value"),
+            F.approx_count_distinct(v).alias("approx_distinct"),
+        )
+    )
+
+
+def streaming_span_invariant(
+    stream: DataFrame, spans_col: str = "spans",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Stateless span-invariant violations on a stream (same semantics as
+    the batch operator — row-local, no state)."""
+    from desbordante_spark.operators.span_invariant import _wellformed_reasons
+
+    reasons = _wellformed_reasons(spans_col)
+    return (
+        stream.withColumn("reasons", reasons)
+        .filter(F.size("reasons") > 0)
+        .select(*id_cols, "reasons")
+    )

@@ -1,0 +1,93 @@
+"""Structured-Streaming verification: duplicate alerts and windowed profile
+driven end-to-end with a file source + memory sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from desbordante_spark.streaming.stream_verify import (
+    streaming_duplicate_alerts,
+    streaming_profile,
+    streaming_span_invariant,
+)
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"doc_id": "a", "ts": "2026-01-01T00:00:00", "v": 1.0},
+        {"doc_id": "b", "ts": "2026-01-01T00:00:10", "v": 2.0},
+        {"doc_id": "a", "ts": "2026-01-01T00:00:20", "v": 3.0},
+        {"doc_id": "c", "ts": "2026-01-01T00:00:30", "v": 4.0},
+        {"doc_id": "a", "ts": "2026-01-01T00:00:40", "v": 5.0},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp, v double")
+        .json(str(src))
+    )
+    return stream
+
+
+def _run(q_df, name, output_mode):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_duplicate_alerts(spark, stream_env):
+    alerts = streaming_duplicate_alerts(stream_env, ["doc_id"])
+    _run(alerts, "dup_alerts", "update")
+    rows = spark.sql("SELECT * FROM dup_alerts").collect()
+    got = {(r["doc_id"], r["cnt"]) for r in rows}
+    assert ("a", 3) in got
+    assert not any(d == "b" for d, _ in got)
+
+
+def test_streaming_profile(spark, stream_env):
+    prof = streaming_profile(stream_env, "v", "ts", window="1 minute")
+    # complete mode: a finite test source never advances the watermark past
+    # the window end, so append would hold the row back forever
+    _run(prof, "stream_prof", "complete")
+    rows = spark.sql("SELECT * FROM stream_prof").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["count_values"] == 5
+    assert r["min_value"] == 1.0 and r["max_value"] == 5.0
+    assert r["avg_value"] == pytest.approx(3.0)
+
+
+def test_streaming_span_invariant(spark, tmp_path):
+    src = tmp_path / "spans"
+    src.mkdir()
+    docs = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "hi", "media_ref": None, "offset": 0}]},
+        {"doc_id": "bad", "spans": [
+            {"kind": "text", "text": "", "media_ref": None, "offset": 0}]},
+    ]
+    with open(src / "b.json", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    viol = streaming_span_invariant(stream)
+    _run(viol, "span_viol", "append")
+    rows = spark.sql("SELECT * FROM span_viol").collect()
+    assert [r["doc_id"] for r in rows] == ["bad"]
+    assert list(rows[0]["reasons"]) == ["text_presence"]
