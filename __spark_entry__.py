@@ -249,6 +249,44 @@ def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ar_pair_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.ar import (
+        mine_association_rules,
+        transactions_from,
+    )
+
+    tx = transactions_from(
+        _read(spark, sf_dir, "events"), "singular", "user_id", "event_type"
+    )
+    rules = mine_association_rules(tx, min_support=0.2, min_confidence=0.6)
+    return (
+        rules.filter(
+            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+        )
+        .select(
+            F.element_at("antecedent", 1).alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            F.round("support", 9).alias("support_r"),
+            F.round("confidence", 9).alias("confidence_r"),
+        )
+    )
+
+
+def _q_ac_exceptions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.ac import ac_exceptions
+
+    exc = ac_exceptions(
+        _read(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "/",
+        ranges=[(500.0, 1500.0)],
+    )
+    return exc.select("l_orderkey", "l_linenumber", "binop_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -275,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "lang_id_documents": _q_lang_id_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "ar_pair_rules_events": _q_ar_pair_rules_events,
+        "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
     }
 
 
@@ -667,6 +707,32 @@ r AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
       FROM p)
 SELECT query_id, neighbor_id, cosine_r, rank FROM r WHERE rank <= 3
+""",
+        "ar_pair_rules_events": """
+WITH t AS (SELECT DISTINCT user_id AS tid, event_type AS item
+           FROM events WHERE event_type IS NOT NULL),
+n AS (SELECT count(DISTINCT tid) AS n_tx FROM t),
+items AS (SELECT item, count(*) AS af FROM t GROUP BY item),
+pairs AS (SELECT a.item AS antecedent, b.item AS consequent, count(*) AS pf
+          FROM t a JOIN t b ON a.tid = b.tid AND a.item <> b.item
+          GROUP BY a.item, b.item)
+SELECT p.antecedent, p.consequent,
+       round(CAST(p.pf AS DOUBLE) / CAST(n.n_tx AS DOUBLE), 9) AS support_r,
+       round(CAST(p.pf AS DOUBLE) / CAST(i.af AS DOUBLE), 9) AS confidence_r
+FROM pairs p, n, items i
+WHERE i.item = p.antecedent
+  AND CAST(p.pf AS DOUBLE) / CAST(n.n_tx AS DOUBLE) >= 0.2
+  AND CAST(p.pf AS DOUBLE) / CAST(i.af AS DOUBLE) >= 0.6
+""",
+        "ac_exceptions_lineitem": """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity <> 0
+            THEN CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+            END AS binop_value
+FROM lineitem
+WHERE l_quantity <> 0
+  AND NOT (CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+             BETWEEN 500.0 AND 1500.0)
 """,
     }
 
