@@ -287,6 +287,64 @@ def _q_ac_exceptions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exc.select("l_orderkey", "l_linenumber", "binop_value")
 
 
+_ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"]
+
+
+def _fd_level1_sql(dialect: str) -> str:
+    """Level-1 FD map over orders: for every ordered column pair (a, b),
+    emit (lhs, rhs) iff count_distinct(a) == count_distinct(a, b).
+    Generated identically for Spark SQL and DuckDB (tuple syntax differs)."""
+    aggs = []
+    for a in _ORDERS_COLS:
+        aggs.append(f"count(DISTINCT {a}) AS d_{a}")
+        for b in _ORDERS_COLS:
+            if a < b:
+                pair = (
+                    f"struct({a}, {b})" if dialect == "spark" else f"({a}, {b})"
+                )
+                aggs.append(f"count(DISTINCT {pair}) AS d_{a}__{b}")
+    selects = []
+    for a in _ORDERS_COLS:
+        for b in _ORDERS_COLS:
+            if a == b:
+                continue
+            lo, hi = min(a, b), max(a, b)
+            selects.append(
+                f"SELECT '{a}' AS lhs, '{b}' AS rhs FROM m"
+                f" WHERE d_{a} = d_{lo}__{hi}"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+_IND_COLS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_nationkey"),
+]
+
+
+def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_fd_level1_sql("spark"))
+
+
+def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.discovery.spider import discover_unary_inds
+
+    tables = {t: _read(spark, sf_dir, t) for t in
+              {"region", "nation", "customer", "supplier"}}
+    cols: dict[str, list[str]] = {}
+    for t, c in _IND_COLS:
+        cols.setdefault(t, []).append(c)
+    return discover_unary_inds(tables, cols, max_error=0.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -315,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "ar_pair_rules_events": _q_ar_pair_rules_events,
         "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
+        "fd_discovery_orders": _q_fd_discovery_orders,
+        "ind_discovery_tpch": _q_ind_discovery_tpch,
     }
 
 
@@ -453,6 +513,39 @@ SELECT doc_id,
             ELSE 'es' END AS pred_lang
 FROM r
 """
+
+
+def _ind_discovery_oracle() -> str:
+    ctes = []
+    ids = {}
+    for i, (t, c) in enumerate(_IND_COLS):
+        ids[f"{t}.{c}"] = f"v{i}"
+        ctes.append(
+            f"v{i} AS (SELECT DISTINCT CAST({c} AS VARCHAR) AS v FROM {t}"
+            f" WHERE {c} IS NOT NULL)"
+        )
+    selects = []
+    for lt, lc in _IND_COLS:
+        for rt, rc in _IND_COLS:
+            lid, rid = f"{lt}.{lc}", f"{rt}.{rc}"
+            if lid == rid:
+                continue
+            a, b = ids[lid], ids[rid]
+            selects.append(
+                f"SELECT '{lid}' AS lhs, '{rid}' AS rhs,"
+                f" CAST((SELECT count(*) FROM {a}) AS BIGINT) AS lhs_distinct,"
+                f" CAST((SELECT count(*) FROM {a} JOIN {b} USING (v)) AS BIGINT)"
+                f"   AS overlap"
+            )
+    return (
+        "WITH " + ", ".join(ctes) + ", p AS (" + " UNION ALL ".join(selects)
+        + ") SELECT lhs, rhs, lhs_distinct, overlap,"
+        " 1.0 - CAST(overlap AS DOUBLE) / CAST(lhs_distinct AS DOUBLE) AS error,"
+        " CAST(CASE WHEN 1.0 - CAST(overlap AS DOUBLE) / CAST(lhs_distinct AS DOUBLE)"
+        "   <= 0.0 THEN 1 ELSE 0 END AS INT) AS holds"
+        " FROM p WHERE 1.0 - CAST(overlap AS DOUBLE) / CAST(lhs_distinct AS DOUBLE)"
+        "   <= 0.0"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -734,6 +827,8 @@ WHERE l_quantity <> 0
   AND NOT (CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
              BETWEEN 500.0 AND 1500.0)
 """,
+        "fd_discovery_orders": _fd_level1_sql("duckdb"),
+        "ind_discovery_tpch": _ind_discovery_oracle(),
     }
 
 

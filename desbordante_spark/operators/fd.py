@@ -43,8 +43,11 @@ def _lhs_base(df: DataFrame, lhs: Sequence[str], is_null_equal_null: bool) -> Da
     if is_null_equal_null:
         return df
     # null != null: rows with a null LHS value are singletons in PLI(X) and
-    # can never conflict — drop them up front.
-    return df.na.drop(subset=list(lhs))
+    # can never conflict — drop them up front (isNotNull pushes down).
+    out = df
+    for c in lhs:
+        out = out.filter(F.col(c).isNotNull())
+    return out
 
 
 def _rhs_key(df: DataFrame, rhs: Sequence[str], is_null_equal_null: bool,

@@ -31,7 +31,12 @@ __all__ = ["ind_missing_values", "ind_verify", "ind_metrics_df"]
 
 
 def _nn(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    return df.na.drop(subset=list(cols))
+    # explicit isNotNull conjunction (pushes down to the parquet scan as
+    # IsNotNull; na.drop's AtLeastNNulls does not)
+    out = df
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
 
 
 def ind_missing_values(

@@ -38,7 +38,7 @@ def od_violations(
     LHS value already produced a larger RHS. Rows with null lhs/rhs are
     excluded (no order position)."""
     context = list(context)
-    base = df.na.drop(subset=[lhs, rhs])
+    base = df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
     rhs_v = F.col(rhs) if not descending else -F.col(rhs)
     g = base.groupBy(*context, lhs).agg(
         F.count(F.lit(1)).alias("group_size"),
@@ -66,7 +66,8 @@ def od_verify(
     """OD verdict: holds iff no swap; error = violating-group fraction."""
     viol = od_violations(df, lhs, rhs, context, descending)
     total_groups = (
-        df.na.drop(subset=[lhs, rhs]).select(*context, lhs).distinct().count()
+        df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+        .select(*context, lhs).distinct().count()
     )
     m = viol.agg(
         F.count(F.lit(1)).alias("nvc"),

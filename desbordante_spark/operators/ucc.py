@@ -40,7 +40,11 @@ def _base(df: DataFrame, columns: Sequence[str], is_null_equal_null: bool) -> Da
         return df
     # null != null: a row with any null in X can never collide -> drop it
     # (position_list_index.cpp:53-59 strips null rows from clusters).
-    return df.na.drop(subset=list(columns))
+    # isNotNull filters push down to the scan; na.drop's AtLeastNNulls not.
+    out = df
+    for c in columns:
+        out = out.filter(F.col(c).isNotNull())
+    return out
 
 
 def ucc_violations(
