@@ -345,6 +345,17 @@ def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_unary_inds(tables, cols, max_error=0.0)
 
 
+def _q_dd_violations_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.dd import dd_violations
+
+    return dd_violations(
+        _read(spark, sf_dir, "supplier"),
+        {"s_acctbal": (0.0, 100.0)},
+        "s_nationkey", 0.0, 5.0,
+        row_id="s_suppkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -375,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
         "fd_discovery_orders": _q_fd_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
+        "dd_violations_supplier": _q_dd_violations_supplier,
     }
 
 
@@ -829,6 +841,16 @@ WHERE l_quantity <> 0
 """,
         "fd_discovery_orders": _fd_level1_sql("duckdb"),
         "ind_discovery_tpch": _ind_discovery_oracle(),
+        "dd_violations_supplier": """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
+         AS rhs_distance
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(CAST(a.s_acctbal AS DOUBLE) - CAST(b.s_acctbal AS DOUBLE)) <= 100.0
+WHERE NOT (abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
+             BETWEEN 0.0 AND 5.0)
+""",
     }
 
 

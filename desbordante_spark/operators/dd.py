@@ -1,0 +1,121 @@
+"""Differential-dependency verification.
+
+Reference: Split discovers DDs — rules "if two rows' distances on the LHS
+attributes fall within given bounds, their distance on the RHS attribute
+must fall within the RHS bounds" — by examining pairwise tuple distances
+against difference functions (/root/reference/src/core/algorithms/dd/split/
+split.h:23-70).
+
+Verification here: given per-column distance bounds
+``lhs_bounds = {col: (lo, hi)}`` and ``rhs_bounds = (col, lo, hi)``, find
+row pairs that satisfy every LHS bound but violate the RHS bound.
+
+Spark-first scale strategy: a naive pairwise check is a cross join. When an
+LHS bound has a finite ``hi`` on a numeric column, qualifying pairs can only
+lie in neighboring *bands* of width ``hi`` — so the self-join is banded:
+each row joins only its own and the adjacent bucket (``floor(v/hi)``),
+turning O(n²) into O(n · density). Distance predicates for the remaining
+columns apply as join filters (Catalyst pushes them into the join).
+String columns use ``levenshtein`` distances (JVM built-in).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from desbordante_spark.model import VerificationResult
+
+__all__ = ["dd_violations", "dd_verify"]
+
+
+def _dist(a: F.Column, b: F.Column, dtype: T.DataType) -> F.Column:
+    if isinstance(dtype, T.StringType):
+        return F.levenshtein(a, b).cast("double")
+    return F.abs(a.cast("double") - b.cast("double"))
+
+
+def dd_violations(
+    df: DataFrame,
+    lhs_bounds: Mapping[str, tuple[float, float]],
+    rhs_col: str,
+    rhs_lo: float,
+    rhs_hi: float,
+    row_id: str,
+) -> DataFrame:
+    """Row pairs satisfying every LHS distance bound but violating the RHS
+    bound: ``(id_a, id_b, rhs_distance)`` with ``id_a < id_b``."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    cols = [row_id, rhs_col, *lhs_bounds.keys()]
+    base = df.select(*dict.fromkeys(cols))
+    # pick a numeric LHS bound with the smallest finite hi for banding
+    band_col, band_hi = None, float("inf")
+    for c, (_lo, hi) in lhs_bounds.items():
+        if (
+            hi is not None
+            and hi < band_hi
+            and not isinstance(dtypes[c], T.StringType)
+        ):
+            band_col, band_hi = c, float(hi)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
+    if band_col is not None and band_hi > 0:
+        bucket_a = F.floor(F.col(f"a.{band_col}").cast("double") / band_hi)
+        bucket_b = F.floor(F.col(f"b.{band_col}").cast("double") / band_hi)
+        # |va - vb| <= hi ⟹ buckets differ by at most 1
+        cond = cond & (bucket_b - bucket_a).isin(-1, 0, 1)
+    for c, (lo, hi) in lhs_bounds.items():
+        d = _dist(F.col(f"a.{c}"), F.col(f"b.{c}"), dtypes[c])
+        if lo is not None and lo > 0:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d <= F.lit(float(hi)))
+    pairs = a.join(b, cond, "inner")
+    rd = _dist(F.col(f"a.{rhs_col}"), F.col(f"b.{rhs_col}"), dtypes[rhs_col])
+    viol = ~((rd >= F.lit(float(rhs_lo))) & (rd <= F.lit(float(rhs_hi))))
+    return pairs.select(
+        F.col(f"a.{row_id}").alias("id_a"),
+        F.col(f"b.{row_id}").alias("id_b"),
+        rd.alias("rhs_distance"),
+    ).filter(viol)
+
+
+def dd_verify(
+    df: DataFrame,
+    lhs_bounds: Mapping[str, tuple[float, float]],
+    rhs_col: str,
+    rhs_lo: float,
+    rhs_hi: float,
+    row_id: str,
+) -> VerificationResult:
+    """DD verdict: holds iff no qualifying pair violates the RHS bound.
+    ``num_violating_clusters`` = violating pairs; ``error`` = violating-pair
+    fraction among qualifying pairs."""
+    viol = dd_violations(df, lhs_bounds, rhs_col, rhs_lo, rhs_hi, row_id)
+    nv = viol.count()
+    # qualifying pairs (for the error denominator) — same join, no RHS filter
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    base = df.select(*dict.fromkeys([row_id, rhs_col, *lhs_bounds.keys()]))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
+    for c, (lo, hi) in lhs_bounds.items():
+        d = _dist(F.col(f"a.{c}"), F.col(f"b.{c}"), dtypes[c])
+        if lo is not None and lo > 0:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d <= F.lit(float(hi)))
+    nq = a.join(b, cond, "inner").count()
+    return VerificationResult(
+        holds=nv == 0,
+        error=nv / nq if nq else 0.0,
+        num_violating_clusters=nv,
+        num_violating_rows=nv,
+        total_rows=nq,
+        violations=viol,
+        details={"lhs_bounds": dict(lhs_bounds),
+                 "rhs": (rhs_col, rhs_lo, rhs_hi)},
+    )
