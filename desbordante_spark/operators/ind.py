@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from desbordante_spark.model import INDResult
 
-__all__ = ["ind_missing_values", "ind_verify", "ind_metrics_df"]
+__all__ = ["ind_missing_values", "ind_verify", "ind_metrics_df",
+           "ind_approx_check"]
 
 
 def _nn(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -117,6 +118,58 @@ def ind_metrics_df(
         .withColumn("holds", holds.cast("int"))
         .select(*by, "total_distinct", "num_missing_values",
                 "num_violating_rows", "error", "holds")
+    )
+
+
+def ind_approx_check(
+    lhs_df: DataFrame,
+    lhs: Sequence[str],
+    rhs_df: DataFrame,
+    rhs: Sequence[str],
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Faida-style sketch containment check (one row):
+    ``(lhs_distinct_approx, rhs_distinct_approx, union_distinct_approx,
+    holds_approx)``.
+
+    Reference: Faida tests n-ary IND candidates with HyperLogLog sketches —
+    ``R[X] ⊆ S[Y]`` approximately iff ``|distinct(Y ∪ X)| ≈ |distinct(Y)|``
+    (/root/reference/src/core/algorithms/ind/faida/faida.h:20-24,
+    inclusion_testing/hyperloglog.h; ``hll_accuracy`` option
+    config/names.h:52).
+
+    Spark-first: ``approx_count_distinct`` IS HLL++; the union cardinality
+    comes from a unioned projection — one pass over each side, no exact
+    distinct shuffle. Use for cheap pruning before the exact
+    ``ind_verify`` (the Faida→Spider two-phase trade)."""
+    lhs = list(lhs)
+    rhs = list(rhs)
+    l_proj = _nn(lhs_df, lhs).select(
+        *[F.col(c).cast("string").alias(f"v{i}") for i, c in enumerate(lhs)]
+    )
+    r_proj = _nn(rhs_df, rhs).select(
+        *[F.col(c).cast("string").alias(f"v{i}") for i, c in enumerate(rhs)]
+    )
+    key = F.struct(*[F.col(f"v{i}") for i in range(len(lhs))])
+    l_cnt = l_proj.agg(F.approx_count_distinct(key, rsd).alias("c"))
+    r_cnt = r_proj.agg(F.approx_count_distinct(key, rsd).alias("c"))
+    u_cnt = l_proj.unionByName(r_proj).agg(
+        F.approx_count_distinct(key, rsd).alias("c")
+    )
+    j = (
+        l_cnt.withColumnRenamed("c", "lhs_distinct_approx")
+        .crossJoin(r_cnt.withColumnRenamed("c", "rhs_distinct_approx"))
+        .crossJoin(u_cnt.withColumnRenamed("c", "union_distinct_approx"))
+    )
+    # holds approximately iff the union adds (nearly) nothing beyond rhs —
+    # tolerance = 2*rsd of the rhs cardinality
+    tol = 1.0 + 2.0 * rsd
+    return j.withColumn(
+        "holds_approx",
+        (
+            F.col("union_distinct_approx")
+            <= F.col("rhs_distinct_approx") * F.lit(tol)
+        ).cast("int"),
     )
 
 

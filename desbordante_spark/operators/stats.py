@@ -42,6 +42,8 @@ __all__ = [
     "top_k_chars",
     "char_vocab",
     "table_stats",
+    "mean_abs_deviation",
+    "median_abs_deviation",
 ]
 
 _NUMERIC = (
@@ -96,9 +98,9 @@ def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
         F.skewness(d).alias("skewness"),
         F.kurtosis(d).alias("kurtosis"),
         F.sum(d * d).alias("sum_of_squares"),
-        (F.sum(F.when(d > 0, F.log(d))) / F.sum(F.when(d > 0, 1))).alias(
-            "log_mean_positive"
-        ),
+        F.exp(
+            F.sum(F.when(d > 0, F.log(d))) / F.sum(F.when(d > 0, 1))
+        ).alias("geometric_mean"),
         (
             F.sum(F.when(d == 0, 1).otherwise(0)) if is_num
             else F.lit(None)
@@ -239,6 +241,34 @@ def char_vocab(df: DataFrame, column: str) -> list[str]:
         .collect()
     )
     return sorted(r["ch"] for r in rows)
+
+
+def mean_abs_deviation(df: DataFrame, column: str) -> float:
+    """Mean absolute deviation (GetMeanAD, data_stats reference) — two-pass:
+    mean first, then ``avg(|x − mean|)``."""
+    v = F.col(column).cast("double")
+    mean = df.agg(F.avg(v)).collect()[0][0]
+    if mean is None:
+        return float("nan")
+    return float(
+        df.agg(F.avg(F.abs(v - F.lit(float(mean))))).collect()[0][0]
+    )
+
+
+def median_abs_deviation(
+    df: DataFrame, column: str, accuracy: int = 10000
+) -> float:
+    """Median absolute deviation (GetMedianAD) — two percentile_approx
+    passes (median of ``|x − median|``)."""
+    v = F.col(column).cast("double")
+    med = df.agg(F.percentile_approx(v, 0.5, accuracy)).collect()[0][0]
+    if med is None:
+        return float("nan")
+    return float(
+        df.agg(
+            F.percentile_approx(F.abs(v - F.lit(float(med))), 0.5, accuracy)
+        ).collect()[0][0]
+    )
 
 
 def table_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:

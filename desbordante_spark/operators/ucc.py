@@ -71,15 +71,38 @@ def ucc_metrics_df(
     is_null_equal_null: bool = True,
     error_threshold: float = 0.0,
     by: Sequence[str] = (),
+    salt: int = 0,
 ) -> DataFrame:
     """Verdict DataFrame (no action):
     ``(by..., total_rows, num_violating_clusters, num_violating_rows, error,
     holds)`` — one row per ``by`` group (north-rule per-partition verdicts),
     or a single global row when ``by`` is empty. ``holds`` is int (1/0) for
-    cross-engine comparability."""
+    cross-engine comparability. ``salt > 1`` forces an explicit salted
+    two-phase aggregation (see inline note)."""
     by = list(by)
     base = _base(df, columns, is_null_equal_null)
-    counts = base.groupBy(*by, *columns).agg(F.count(F.lit(1)).alias("cnt"))
+    if salt and salt > 1:
+        # explicit salted two-phase aggregation (north-rule technique for
+        # hot keys): phase 1 counts per (salt-bucket, key) — a key hammered
+        # by one partition's worth of duplicates is split across `salt`
+        # reducers — phase 2 merges buckets per key. With Catalyst's
+        # map-side partial aggregation this is usually redundant (partials
+        # already bound per-key shuffle rows by #partitions); it matters
+        # when partial agg is disabled or the key count per task overflows
+        # the hash-agg fallback to sort-based aggregation.
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in columns]), F.lit(salt)
+        ).alias("_salt")
+        partial = base.groupBy(bucket, *by, *columns).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        counts = partial.groupBy(*by, *columns).agg(
+            F.sum("cnt").alias("cnt")
+        )
+    else:
+        counts = base.groupBy(*by, *columns).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     viol = F.col("cnt") > 1
     agg = counts.groupBy(*by).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_rows"),

@@ -52,3 +52,15 @@ def test_ind_metrics_df_schema(tables):
     assert row["total_distinct"] == 4
     assert row["num_missing_values"] == 1
     assert row["holds"] == 0
+
+
+def test_ind_approx_check(tables):
+    from desbordante_spark.operators.ind import ind_approx_check
+
+    lhs_df, rhs_df = tables
+    ok = lhs_df.filter("ref in ('a','b','c')")
+    r = ind_approx_check(ok, ["ref"], rhs_df, ["key"]).collect()[0]
+    assert r["holds_approx"] == 1
+    bad = ind_approx_check(lhs_df, ["ref"], rhs_df, ["key"]).collect()[0]
+    # 'zz' missing from rhs -> union cardinality exceeds rhs
+    assert bad["holds_approx"] == 0

@@ -111,3 +111,21 @@ def test_approx_mode(fixture_df):
             profile(fixture_df, distinct_mode="approx").collect()}
     # HLL++ is exact at tiny cardinality
     assert rows["col_int"]["distinct_values"] == 5
+
+
+def test_geometric_mean(prof):
+    import math
+    r = prof["col_int"]
+    expect = math.exp(sum(math.log(x) for x in [1, 2, 3, 4, 5]) / 5)
+    assert r["geometric_mean"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_mean_median_ad(fixture_df):
+    from desbordante_spark.operators.stats import (
+        mean_abs_deviation,
+        median_abs_deviation,
+    )
+    # col_int = 1..5: mean 3, mean AD = (2+1+0+1+2)/5 = 1.2; median 3,
+    # |x-3| = {2,1,0,1,2} -> median AD = 1
+    assert mean_abs_deviation(fixture_df, "col_int") == pytest.approx(1.2)
+    assert median_abs_deviation(fixture_df, "col_int") == pytest.approx(1.0)

@@ -98,3 +98,11 @@ def test_null_semantics(spark):
     assert neq.num_violating_clusters == 1
     assert neq.num_violating_rows == 2
     assert neq.total_rows == 3
+
+
+def test_salted_two_phase_agrees(testfd):
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    plain = ucc_metrics_df(testfd, ["Col0", "Col1"]).collect()[0].asDict()
+    salted = ucc_metrics_df(testfd, ["Col0", "Col1"], salt=8).collect()[0].asDict()
+    assert plain == salted
