@@ -65,6 +65,11 @@ def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
 
     if distinct_mode == "approx":
         distinct = F.approx_count_distinct(vv)
+    elif distinct_mode == "none":
+        # exact distincts come from the separate unpivot job (see profile);
+        # multiple count_distinct aggregates in one pass would force a
+        # per-aggregate Expand of the input (measured 10-40x slower)
+        distinct = F.lit(None)
     else:
         distinct = F.count_distinct(vv)
 
@@ -169,13 +174,56 @@ def profile(
     by = list(by)
     cols = list(columns) if columns else [c for c in df.columns if c not in by]
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    mode = "none" if distinct_mode == "exact" else distinct_mode
     structs = [
-        _stat_struct(c, dtypes[c], distinct_mode, categorical_threshold,
+        _stat_struct(c, dtypes[c], mode, categorical_threshold,
                      quantile_accuracy)
         for c in cols
     ]
     wide = df.groupBy(*by).agg(F.array(*structs).alias("stats"))
-    return wide.select(*by, F.explode("stats").alias("s")).select(*by, "s.*")
+    out = wide.select(*by, F.explode("stats").alias("s")).select(*by, "s.*")
+    if distinct_mode != "exact":
+        return out
+    # exact distinct counts via ONE unpivoted single-distinct aggregation —
+    # no Expand blowup, one shuffle of (column, value) pairs
+    d = _exact_distincts(df, cols, dtypes, by).alias("d")
+    o = out.alias("o")
+    cond = [F.col("o.column") == F.col("d.column")]
+    for b in by:
+        cond.append(F.col(f"o.{b}").eqNullSafe(F.col(f"d.{b}")))
+    keep = [f"o.{b}" for b in by] + [
+        f"o.{c}" for c in out.columns
+        if c not in by and c not in ("distinct_values", "is_categorical")
+    ]
+    dv = F.coalesce(F.col("d.distinct_values"), F.lit(0)).cast("long")
+    joined = o.join(d, cond, "left").select(
+        *[F.col(k).alias(k.split(".", 1)[1]) for k in keep],
+        dv.alias("distinct_values"),
+        (dv <= categorical_threshold).alias("is_categorical"),
+    )
+    # restore the documented column order
+    return joined.select(*by, *[c for c in out.columns if c not in by])
+
+
+def _exact_distincts(df, cols, dtypes, by):
+    pairs = []
+    for c in cols:
+        v = F.col(c)
+        valid = v.isNotNull()
+        if isinstance(dtypes[c], T.StringType):
+            valid = valid & (v != "")
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(valid, v.cast("string")).alias("v"),
+            )
+        )
+    exploded = df.select(
+        *by, F.explode(F.array(*pairs)).alias("p")
+    ).select(*by, "p.column", "p.v").filter(F.col("v").isNotNull())
+    return exploded.groupBy(*by, "column").agg(
+        F.count_distinct("v").alias("distinct_values")
+    )
 
 
 def word_stats(df: DataFrame, column: str) -> DataFrame:
