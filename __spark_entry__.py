@@ -356,6 +356,35 @@ def _q_dd_violations_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hyperplane-LSH ANN (xxhash64-derived planes — not expressible in
+    # DuckDB SQL; rows-only driver check, recall covered by pytest)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(q, emb, "vec_id", "vec_id", k=3, planes=6)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.similarity import embedding_near_dup_pairs
+
+    # testdata embeddings have max pairwise cosine ~0.4 — use a threshold
+    # that yields a non-trivial result set
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.3, planes=4
+    )
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.dedup import simhash, simhash_near_pairs
+
+    fps = simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash_near_pairs(fps, max_hamming=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -387,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_orders": _q_fd_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
         "dd_violations_supplier": _q_dd_violations_supplier,
+        "ann_topk_lsh_embeddings": _q_ann_topk_lsh_embeddings,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "simhash_near_pairs": _q_simhash_near_pairs,
     }
 
 
@@ -841,6 +873,17 @@ WHERE l_quantity <> 0
 """,
         "fd_discovery_orders": _fd_level1_sql("duckdb"),
         "ind_discovery_tpch": _ind_discovery_oracle(),
+        "simhash_near_pairs": f"""
+WITH f AS ({_simhash_oracle()}),
+p AS (SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+                + bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3))
+                AS INT) AS hamming
+      FROM f a JOIN f b
+        ON a.id < b.id
+       AND (a.sh0 = b.sh0 OR a.sh1 = b.sh1 OR a.sh2 = b.sh2 OR a.sh3 = b.sh3))
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10
+""",
         "dd_violations_supplier": """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
