@@ -38,18 +38,16 @@ def _dist(a: F.Column, b: F.Column, dtype: T.DataType) -> F.Column:
     return F.abs(a.cast("double") - b.cast("double"))
 
 
-def dd_violations(
+def _qualifying_pairs(
     df: DataFrame,
     lhs_bounds: Mapping[str, tuple[float, float]],
-    rhs_col: str,
-    rhs_lo: float,
-    rhs_hi: float,
     row_id: str,
-) -> DataFrame:
-    """Row pairs satisfying every LHS distance bound but violating the RHS
-    bound: ``(id_a, id_b, rhs_distance)`` with ``id_a < id_b``."""
+    extra_cols: tuple[str, ...],
+):
+    """Self-join of pairs satisfying every LHS distance bound, returned as
+    the joined frame aliased a/b (plus the dtype map)."""
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    cols = [row_id, rhs_col, *lhs_bounds.keys()]
+    cols = [row_id, *extra_cols, *lhs_bounds.keys()]
     base = df.select(*dict.fromkeys(cols))
     # pick a numeric LHS bound with the smallest finite hi for banding
     band_col, band_hi = None, float("inf")
@@ -60,21 +58,46 @@ def dd_violations(
             and not isinstance(dtypes[c], T.StringType)
         ):
             band_col, band_hi = c, float(hi)
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
     if band_col is not None and band_hi > 0:
-        bucket_a = F.floor(F.col(f"a.{band_col}").cast("double") / band_hi)
-        bucket_b = F.floor(F.col(f"b.{band_col}").cast("double") / band_hi)
-        # |va - vb| <= hi ⟹ buckets differ by at most 1
-        cond = cond & (bucket_b - bucket_a).isin(-1, 0, 1)
+        # genuine banded EQUI-join: |va-vb| <= hi ⟹ vb's bucket ∈ {b-1,b,b+1}
+        # of va's bucket, so the probe side explodes each row to its three
+        # neighbor buckets and the join key is the bucket — Catalyst plans a
+        # shuffled hash / sort-merge join on `_band`, never a nested loop.
+        # Each qualifying pair matches exactly once (the build row's bucket
+        # is a single value).
+        bucket = F.floor(F.col(band_col).cast("double") / F.lit(band_hi))
+        a = base.withColumn(
+            "_band",
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)),
+        ).alias("a")
+        b = base.withColumn("_band", bucket).alias("b")
+        cond = (F.col("a._band") == F.col("b._band")) & (
+            F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
+        )
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
     for c, (lo, hi) in lhs_bounds.items():
         d = _dist(F.col(f"a.{c}"), F.col(f"b.{c}"), dtypes[c])
         if lo is not None and lo > 0:
             cond = cond & (d >= F.lit(float(lo)))
         if hi is not None:
             cond = cond & (d <= F.lit(float(hi)))
-    pairs = a.join(b, cond, "inner")
+    return a.join(b, cond, "inner"), dtypes
+
+
+def dd_violations(
+    df: DataFrame,
+    lhs_bounds: Mapping[str, tuple[float, float]],
+    rhs_col: str,
+    rhs_lo: float,
+    rhs_hi: float,
+    row_id: str,
+) -> DataFrame:
+    """Row pairs satisfying every LHS distance bound but violating the RHS
+    bound: ``(id_a, id_b, rhs_distance)`` with ``id_a < id_b``."""
+    pairs, dtypes = _qualifying_pairs(df, lhs_bounds, row_id, (rhs_col,))
     rd = _dist(F.col(f"a.{rhs_col}"), F.col(f"b.{rhs_col}"), dtypes[rhs_col])
     viol = ~((rd >= F.lit(float(rhs_lo))) & (rd <= F.lit(float(rhs_hi))))
     return pairs.select(
@@ -97,18 +120,9 @@ def dd_verify(
     fraction among qualifying pairs."""
     viol = dd_violations(df, lhs_bounds, rhs_col, rhs_lo, rhs_hi, row_id)
     nv = viol.count()
-    # qualifying pairs (for the error denominator) — same join, no RHS filter
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    base = df.select(*dict.fromkeys([row_id, rhs_col, *lhs_bounds.keys()]))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{row_id}") < F.col(f"b.{row_id}")
-    for c, (lo, hi) in lhs_bounds.items():
-        d = _dist(F.col(f"a.{c}"), F.col(f"b.{c}"), dtypes[c])
-        if lo is not None and lo > 0:
-            cond = cond & (d >= F.lit(float(lo)))
-        if hi is not None:
-            cond = cond & (d <= F.lit(float(hi)))
-    nq = a.join(b, cond, "inner").count()
+    # qualifying pairs (error denominator) — same banded join, no RHS filter
+    pairs, _ = _qualifying_pairs(df, lhs_bounds, row_id, ())
+    nq = pairs.count()
     return VerificationResult(
         holds=nv == 0,
         error=nv / nq if nq else 0.0,
