@@ -345,6 +345,15 @@ def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_unary_inds(tables, cols, max_error=0.0)
 
 
+def _q_pfd_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.fd import pfd_metrics_df
+
+    return pfd_metrics_df(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderpriority"],
+        error_measure="per_tuple", error_threshold=0.3,
+    )
+
+
 def _q_dd_violations_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.dd import dd_violations
 
@@ -416,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_orders": _q_fd_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
         "dd_violations_supplier": _q_dd_violations_supplier,
+        "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ann_topk_lsh_embeddings": _q_ann_topk_lsh_embeddings,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash_near_pairs": _q_simhash_near_pairs,
@@ -870,6 +880,26 @@ FROM lineitem
 WHERE l_quantity <> 0
   AND NOT (CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
              BETWEEN 500.0 AND 1500.0)
+""",
+        "pfd_metrics_orders": """
+WITH l1 AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+            FROM orders GROUP BY o_custkey, o_orderpriority),
+l2 AS (SELECT o_custkey,
+              CAST(sum(cnt) AS BIGINT) AS cluster_size,
+              CAST(max(cnt) AS BIGINT) AS max_rhs_cnt
+       FROM l1 GROUP BY o_custkey),
+m AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS num_clusters,
+             CAST(coalesce(sum(max_rhs_cnt), 0) AS BIGINT) AS keep
+      FROM l2)
+SELECT total_rows, num_clusters,
+       CASE WHEN total_rows > 0
+            THEN 1.0 - CAST(keep AS DOUBLE) / CAST(total_rows AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN (CASE WHEN total_rows > 0
+                       THEN 1.0 - CAST(keep AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                       ELSE 0.0 END) <= 0.3 THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
 """,
         "fd_discovery_orders": _fd_level1_sql("duckdb"),
         "ind_discovery_tpch": _ind_discovery_oracle(),

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from desbordante_spark.model import FDResult
 
 __all__ = ["fd_violations", "fd_verify", "fd_highlights", "fd_metrics_df",
-           "HIGHLIGHT_SORT_KEYS"]
+           "pfd_metrics_df", "HIGHLIGHT_SORT_KEYS"]
 
 
 def _lhs_base(df: DataFrame, lhs: Sequence[str], is_null_equal_null: bool) -> DataFrame:
@@ -176,6 +176,59 @@ def fd_metrics_df(
         .withColumn("holds", holds.cast("int"))
         .select(*by, "total_rows", "num_violating_clusters",
                 "num_violating_rows", "error", "holds")
+    )
+
+
+def pfd_metrics_df(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    error_measure: str = "per_tuple",
+    error_threshold: float = 0.0,
+    is_null_equal_null: bool = True,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Probabilistic-FD verdict (PFDTane error measures,
+    /root/reference/src/core/algorithms/fd/pfdtane/enums.h:6):
+
+    - ``per_tuple``: 1 − Σ_clusters max_rhs_cnt / n — the fraction of rows
+      that would need to change for the FD to hold.
+    - ``per_value``: 1 − avg_clusters(max_rhs_cnt / cluster_size) — the
+      average per-LHS-value violation mass.
+
+    Output: ``(by..., total_rows, num_clusters, error, holds)``.
+    """
+    if error_measure not in ("per_tuple", "per_value"):
+        raise ValueError(f"unknown error_measure {error_measure!r}")
+    by = list(by)
+    stats = _cluster_stats(df, list(by) + list(lhs), rhs, is_null_equal_null)
+    agg = stats.groupBy(*by).agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).cast("long")
+        .alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("num_clusters"),
+        F.coalesce(F.sum("max_rhs_cnt"), F.lit(0)).cast("long").alias("_keep"),
+        F.coalesce(
+            F.sum(F.col("max_rhs_cnt").cast("double")
+                  / F.col("cluster_size").cast("double")),
+            F.lit(0.0),
+        ).alias("_keep_frac"),
+    )
+    if error_measure == "per_tuple":
+        err = F.when(
+            F.col("total_rows") > 0,
+            1.0 - F.col("_keep").cast("double")
+            / F.col("total_rows").cast("double"),
+        ).otherwise(F.lit(0.0))
+    else:
+        err = F.when(
+            F.col("num_clusters") > 0,
+            1.0 - F.col("_keep_frac") / F.col("num_clusters").cast("double"),
+        ).otherwise(F.lit(0.0))
+    return (
+        agg.withColumn("error", err)
+        .withColumn("holds",
+                    (F.col("error") <= F.lit(error_threshold)).cast("int"))
+        .select(*by, "total_rows", "num_clusters", "error", "holds")
     )
 
 

@@ -80,3 +80,19 @@ def test_fd_rhs_null_semantics(spark):
     res = fd_verify(df, ["k"], ["v"], is_null_equal_null=False, row_id="row_id")
     assert not res.holds
     assert res.error == pytest.approx(2 / 2, abs=1e-12)  # both ordered pairs conflict
+
+
+def test_pfd_metrics(testfd):
+    from desbordante_spark.operators.fd import pfd_metrics_df
+
+    # {3}->{4}: clusters: '1.233'(keep 1/1), '0'(max 2 of 4), 'hjkl'(3 of 6),
+    # '999'(1/1). per_tuple: 1 - (1+2+3+1)/12 = 5/12;
+    # per_value: 1 - (1 + 0.5 + 0.5 + 1)/4 = 0.25
+    pt = pfd_metrics_df(testfd, ["Col3"], ["Col4"], "per_tuple").collect()[0]
+    assert pt["error"] == pytest.approx(5 / 12, abs=1e-12)
+    assert pt["num_clusters"] == 4
+    pv = pfd_metrics_df(testfd, ["Col3"], ["Col4"], "per_value").collect()[0]
+    assert pv["error"] == pytest.approx(0.25, abs=1e-12)
+    assert pfd_metrics_df(
+        testfd, ["Col3"], ["Col4"], "per_tuple", error_threshold=0.5
+    ).collect()[0]["holds"] == 1
