@@ -928,8 +928,18 @@ WHERE NOT (abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: UCC verification metrics on the lineitem PK at sf0.001."""
-    from desbordante_spark.operators.ucc import ucc_metrics_df
+    """Flagship: per-partition uniqueness verdicts over the interleaved-doc
+    table (north-rule core) — 16 partitions × verdict columns, plus the
+    lineitem-PK check appended as a global row (sf0.001)."""
+    from pyspark.sql import functions as F
 
-    df = _read(spark, "/root/testdata/sf0.001", "lineitem")
-    return ucc_metrics_df(df, ["l_orderkey", "l_linenumber"])
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+    from desbordante_spark.sources.interleaved import generate_documents
+
+    docs = generate_documents(spark, 5_000)
+    per_part = ucc_metrics_df(docs, ["doc_id"], by=["part_key"])
+    li = _read(spark, "/root/testdata/sf0.001", "lineitem")
+    global_row = ucc_metrics_df(li, ["l_orderkey", "l_linenumber"]).select(
+        F.lit("lineitem_pk").alias("part_key"), "*"
+    )
+    return per_part.unionByName(global_row)
