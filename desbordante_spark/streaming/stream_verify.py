@@ -28,6 +28,7 @@ __all__ = [
     "streaming_duplicate_alerts",
     "streaming_profile",
     "streaming_span_invariant",
+    "streaming_first_seen_dedup",
 ]
 
 
@@ -75,6 +76,56 @@ def streaming_profile(
             F.max(v).alias("max_value"),
             F.avg(v.cast("double")).alias("avg_value"),
             F.approx_count_distinct(v).alias("approx_distinct"),
+        )
+    )
+
+
+def streaming_first_seen_dedup(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    key's row only the FIRST time it is seen; later arrivals are emitted as
+    duplicate records with the running duplicate count. State per key is one
+    counter, dropped when the watermark passes (GroupStateTimeout.EventTimeTimeout)
+    — the streaming analog of exact dedup with bounded state.
+
+    Output: ``(key, first_seen int, dup_count long)`` in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, first_seen int, dup_count long"
+    state_schema = "seen long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (seen,) = state.get() if state.exists else (0,)
+        first = 1 if seen == 0 else 0
+        state.update((seen + n,))
+        if state.getCurrentWatermarkMs() > 0:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 3_600_000
+            )
+        yield pd.DataFrame(
+            {key_col: [key[0]], "first_seen": [first],
+             "dup_count": [max(seen + n - 1, 0)]}
+        )
+
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

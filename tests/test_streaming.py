@@ -91,3 +91,16 @@ def test_streaming_span_invariant(spark, tmp_path):
     rows = spark.sql("SELECT * FROM span_viol").collect()
     assert [r["doc_id"] for r in rows] == ["bad"]
     assert list(rows[0]["reasons"]) == ["text_presence"]
+
+
+def test_streaming_first_seen_dedup(spark, stream_env):
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_first_seen_dedup,
+    )
+
+    out = streaming_first_seen_dedup(stream_env, "doc_id", "ts")
+    _run(out, "first_seen", "update")
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM first_seen").collect()}
+    assert rows["a"]["first_seen"] == 1 and rows["a"]["dup_count"] == 2
+    assert rows["b"]["first_seen"] == 1 and rows["b"]["dup_count"] == 0
+    assert rows["c"]["dup_count"] == 0
