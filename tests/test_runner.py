@@ -109,3 +109,28 @@ def test_resume_noop_when_complete(spark, env):
     r2 = SuiteRunner(spark, ckpt, snapshot_id="s")
     out = r2.run(docs, [_suite()[0]], aux={"media_catalog": catalog})
     assert out.count() == 0  # nothing left to verify
+
+
+def test_runner_fd_and_custom_kinds(spark, env):
+    docs, catalog, ckpt = env
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.ucc import ucc_metrics_df
+
+    suite = [
+        # FD: part_key is derived from doc_id, so doc_id -> part_key holds
+        Constraint("docid_determines_part", "fd",
+                   {"lhs": ["doc_id"], "rhs": ["part_key"]}),
+        Constraint(
+            "custom_span_nonempty", "custom",
+            {"fn": lambda df, by: ucc_metrics_df(
+                df.withColumn("n", F.size("spans")), ["doc_id", "n"], by=by)},
+        ),
+    ]
+    out = SuiteRunner(spark, ckpt + "2", "s2").run(
+        docs, suite, aux={"media_catalog": catalog}
+    )
+    rows = {(r["constraint"], r["partition"]): r for r in out.collect()}
+    assert len(rows) == 32
+    fd_rows = [r for (c, _), r in rows.items() if c == "docid_determines_part"]
+    assert all(r["holds"] == 1 for r in fd_rows)
