@@ -35,7 +35,11 @@ __all__ = [
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg SparkCatalog is reachable from this session."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        # py4j returns a truthy JavaPackage for missing classes — force a
+        # real classloader lookup instead
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
