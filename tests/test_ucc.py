@@ -106,3 +106,28 @@ def test_salted_two_phase_agrees(testfd):
     plain = ucc_metrics_df(testfd, ["Col0", "Col1"]).collect()[0].asDict()
     salted = ucc_metrics_df(testfd, ["Col0", "Col1"], salt=8).collect()[0].asDict()
     assert plain == salted
+
+
+def test_evidence_cap_hot_key(spark):
+    # pathological cluster: one key owns 50k of 60k rows — counts stay exact,
+    # evidence is capped, nothing materializes beyond the cap
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.ucc import (
+        ucc_verify,
+        ucc_violating_clusters,
+    )
+
+    df = spark.range(60_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 50_000, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+    )
+    res = ucc_verify(df, ["k"])
+    assert res.num_violating_clusters == 1
+    assert res.num_violating_rows == 50_000
+    ev = ucc_violating_clusters(df, ["k"], "row_id", evidence_cap=100).collect()
+    assert len(ev) == 1
+    assert ev[0]["cluster_size"] == 50_000
+    assert len(ev[0]["row_ids"]) == 100
+    assert ev[0]["truncated"]
