@@ -229,11 +229,12 @@ def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from desbordante_spark.functions.text import lang_id
+    from pyspark.sql import functions as F
 
-    return _read(spark, sf_dir, "documents").select(
-        "doc_id", lang_id("text").alias("pred_lang")
-    )
+    from desbordante_spark.functions.text import lang_id_table
+
+    out = lang_id_table(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "pred_lang")
 
 
 def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,28 +543,25 @@ SELECT doc_id AS id, {sel} FROM d GROUP BY doc_id
 def _lang_id_oracle() -> str:
     from desbordante_spark.functions.text import STOPWORDS
 
-    ratios = []
+    hits = []
     for lang, words in STOPWORDS.items():
-        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
-        ratios.append(
-            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,"
-            f" x -> list_contains({arr}, lower(x)))) AS DOUBLE)"
-            f" / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_{lang}"
+        pat = "\\b(" + "|".join(words) + ")\\b"
+        hits.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS h_{lang}"
         )
-    rs = ",\n       ".join(ratios)
+    hs = ",\n       ".join(hits)
     return f"""
-WITH b AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-r AS (SELECT doc_id, text, toks,
+WITH r AS (SELECT doc_id, text,
        length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
-       {rs}
-      FROM b)
+       {hs}
+      FROM documents)
 SELECT doc_id,
        CASE WHEN text IS NULL OR trim(text) = '' THEN 'unknown'
             WHEN 2 * cjk >= length(text) THEN 'zh'
-            WHEN greatest(r_en, r_de, r_fr, r_es) <= 0 THEN 'unknown'
-            WHEN r_en >= greatest(r_de, r_fr, r_es) THEN 'en'
-            WHEN r_de >= greatest(r_fr, r_es) THEN 'de'
-            WHEN r_fr >= r_es THEN 'fr'
+            WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'unknown'
+            WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
             ELSE 'es' END AS pred_lang
 FROM r
 """

