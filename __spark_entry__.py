@@ -18,6 +18,45 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ------------------------------------------------- staged generated tables
+#
+# The interleaved-doc generator is deterministic (seed-derived, FIXTURES.md
+# F1/F2) but xxhash64-based, so DuckDB can't regenerate it in SQL. Queries
+# over generated data therefore stage the table to parquet once and BOTH
+# engines read the same files (the driver runs the Spark query before its
+# oracle, so the stage exists by the time DuckDB reads it; the _SUCCESS
+# guard makes re-runs free).
+
+_STAGE_ROOT = "/tmp/spark_graft_stage"
+_STAGE_DOCS = 20_000
+_DOCS_PATH = f"{_STAGE_ROOT}/docs{_STAGE_DOCS}"
+_CAT_PATH = f"{_STAGE_ROOT}/mediacat{max(100, _STAGE_DOCS // 10)}"
+
+
+def _staged_docs(spark: SparkSession) -> DataFrame:
+    import os
+
+    if not os.path.exists(f"{_DOCS_PATH}/_SUCCESS"):
+        from desbordante_spark.sources.interleaved import generate_documents
+
+        generate_documents(spark, _STAGE_DOCS).write.mode("overwrite").parquet(
+            _DOCS_PATH
+        )
+    return spark.read.parquet(_DOCS_PATH)
+
+
+def _staged_catalog(spark: SparkSession) -> DataFrame:
+    import os
+
+    if not os.path.exists(f"{_CAT_PATH}/_SUCCESS"):
+        from desbordante_spark.sources.interleaved import generate_media_catalog
+
+        generate_media_catalog(
+            spark, max(100, _STAGE_DOCS // 10)
+        ).write.mode("overwrite").parquet(_CAT_PATH)
+    return spark.read.parquet(_CAT_PATH)
+
+
 # ---------------------------------------------------------------- queries
 
 def _q_ucc_violations_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +146,30 @@ def _q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100-TB path: HLL++ distinct + percentile sketches instead of exact
+    # distincts. HLL estimates aren't cross-engine comparable, so the oracle
+    # checks the deterministic stats while the plan still computes the
+    # sketches (has_distinct/n_quantiles force them, Catalyst can't prune)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.stats import profile
+
+    p = profile(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_linenumber", "l_extendedprice"],
+        distinct_mode="approx",
+    )
+    return p.select(
+        F.col("column").alias("col_name"),
+        "count_values",
+        "null_count",
+        (F.col("distinct_values") > 0).cast("int").alias("has_distinct"),
+        F.size("quantiles").cast("int").alias("n_quantiles"),
+        F.round("avg", 6).alias("avg_rounded"),
+    )
+
+
 def _q_word_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.stats import word_stats
 
@@ -129,14 +192,16 @@ def _q_drift_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_span_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # interleaved table is synthesized (deterministic, FIXTURES.md F1) — no
-    # flat-SQL equivalent, driver records the rows-only check; exact golden
-    # coverage lives in tests/test_interleaved.py
-    from desbordante_spark.operators.span_invariant import span_wellformed_violations
-    from desbordante_spark.sources.interleaved import generate_documents
+    # staged interleaved table (F1); reasons flattened to a scalar string so
+    # the driver canonicalizer can sort it (array form stays the library API)
+    from pyspark.sql import functions as F
 
-    docs = generate_documents(spark, 20_000)
-    return span_wellformed_violations(docs)
+    from desbordante_spark.operators.span_invariant import span_wellformed_violations
+
+    docs = _staged_docs(spark)
+    return span_wellformed_violations(docs).select(
+        "doc_id", F.array_join("reasons", ",").alias("reasons")
+    )
 
 
 def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,16 +209,12 @@ def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from desbordante_spark.operators.ind import ind_metrics_df
-    from desbordante_spark.sources.interleaved import (
-        generate_documents,
-        generate_media_catalog,
-    )
 
-    docs = generate_documents(spark, 20_000)
+    docs = _staged_docs(spark)
     refs = docs.select(F.explode("spans").alias("s")).select(
         F.col("s.media_ref").alias("media_ref")
     )
-    catalog = generate_media_catalog(spark, max(100, 20_000 // 10))
+    catalog = _staged_catalog(spark)
     return ind_metrics_df(refs, ["media_ref"], catalog, ["media_ref"])
 
 
@@ -292,28 +353,49 @@ _ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                 "o_orderpriority"]
 
 
-def _fd_level1_sql(dialect: str) -> str:
-    """Level-1 FD map over orders: for every ordered column pair (a, b),
-    emit (lhs, rhs) iff count_distinct(a) == count_distinct(a, b).
-    Generated identically for Spark SQL and DuckDB (tuple syntax differs)."""
-    aggs = []
-    for a in _ORDERS_COLS:
-        aggs.append(f"count(DISTINCT {a}) AS d_{a}")
-        for b in _ORDERS_COLS:
-            if a < b:
-                pair = (
-                    f"struct({a}, {b})" if dialect == "spark" else f"({a}, {b})"
-                )
-                aggs.append(f"count(DISTINCT {pair}) AS d_{a}__{b}")
+def _fd_minimal_oracle() -> str:
+    """Closed-form SQL for discover_fds(orders, max_lhs=2): all minimal FDs
+    with TANE's pruning rules — X → A reported iff d(X∪A) = d(X), no
+    discovered key ⊆ X, no proper subset of X already determines A, and A
+    isn't constant (then () → A is the minimal FD). One wide distinct-count
+    CTE + a UNION of condition probes."""
+    from itertools import combinations
+
+    cols = sorted(_ORDERS_COLS)
+
+    def d(*cs: str) -> str:
+        return "d_" + "__".join(sorted(cs))
+
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    sets = (
+        [(c,) for c in cols]
+        + list(combinations(cols, 2))
+        + list(combinations(cols, 3))
+    )
+    for s in sets:
+        tup = s[0] if len(s) == 1 else "(" + ", ".join(s) + ")"
+        aggs.append(f"count(DISTINCT {tup}) AS {d(*s)}")
     selects = []
-    for a in _ORDERS_COLS:
-        for b in _ORDERS_COLS:
-            if a == b:
+    for a in cols:  # level 0: constant columns → () -> a
+        selects.append(f"SELECT '' AS lhs, '{a}' AS rhs FROM m WHERE {d(a)} <= 1")
+    for x in cols:  # level 1
+        for a in cols:
+            if a == x:
                 continue
-            lo, hi = min(a, b), max(a, b)
             selects.append(
-                f"SELECT '{a}' AS lhs, '{b}' AS rhs FROM m"
-                f" WHERE d_{a} = d_{lo}__{hi}"
+                f"SELECT '{x}' AS lhs, '{a}' AS rhs FROM m"
+                f" WHERE {d(x, a)} = {d(x)} AND {d(x)} < n AND {d(a)} > 1"
+            )
+    for x, y in combinations(cols, 2):  # level 2
+        for a in cols:
+            if a in (x, y):
+                continue
+            selects.append(
+                f"SELECT '{x},{y}' AS lhs, '{a}' AS rhs FROM m"
+                f" WHERE {d(x, y, a)} = {d(x, y)}"
+                f" AND {d(x)} < n AND {d(y)} < n AND {d(x, y)} < n"
+                f" AND {d(x, a)} <> {d(x)} AND {d(y, a)} <> {d(y)}"
+                f" AND {d(a)} > 1"
             )
     return (
         "WITH m AS (SELECT " + ", ".join(aggs) + " FROM orders) "
@@ -331,8 +413,17 @@ _IND_COLS = [
 
 
 def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_fd_level1_sql("spark"))
+    # the library's TANE-style levelwise miner (lattice bookkeeping,
+    # minimality + key pruning) — the oracle replicates the same semantics
+    # in closed-form SQL up to max_lhs=2
+    from desbordante_spark.discovery.tane import discover_fds
+
+    fds = discover_fds(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
 
 
 def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,24 +458,34 @@ def _q_dd_violations_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hyperplane-LSH ANN (xxhash64-derived planes — not expressible in
-    # DuckDB SQL; rows-only driver check, recall covered by pytest)
+    # hyperplane-LSH ANN — planes are md5-derived literal arrays
+    # (similarity.plane_components), so the DuckDB oracle reproduces the
+    # exact same buckets
     from pyspark.sql import functions as F
 
     from desbordante_spark.operators.similarity import cosine_topk_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(q, emb, "vec_id", "vec_id", k=3, planes=6)
+    res = cosine_topk_lsh(q, emb, "vec_id", "vec_id", k=3, planes=6, dim=64)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from desbordante_spark.operators.similarity import embedding_near_dup_pairs
 
     # testdata embeddings have max pairwise cosine ~0.4 — use a threshold
     # that yields a non-trivial result set
-    return embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.3, planes=4
+    res = embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.3, planes=4,
+        dim=64,
+    )
+    return res.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
     )
 
 
@@ -392,7 +493,72 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.dedup import simhash, simhash_near_pairs
 
     fps = simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
-    return simhash_near_pairs(fps, max_hamming=10)
+    # partial_ok: candidate generation is chunk-blocked (recall complete only
+    # to hamming ≤ 3); the oracle applies the same blocking — documented
+    # contract, not an accidental gap
+    return simhash_near_pairs(fps, max_hamming=10, partial_ok=True)
+
+
+def _q_ind_discovery_nary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mind levelwise n-ary discovery: a deterministic projection of orders
+    # (o_orderkey % 7 = 0) is included by construction in orders, giving a
+    # true arity-2 IND the miner must find (plus its unary projections)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.mind import discover_nary_inds
+
+    orders = _read(spark, sf_dir, "orders")
+    sample = orders.filter(F.col("o_orderkey") % 7 == 0)
+    cols = ["o_custkey", "o_orderpriority"]
+    return discover_nary_inds(
+        {"orders_sample": sample, "orders": orders},
+        {"orders_sample": cols, "orders": cols},
+        max_arity=2,
+    )
+
+
+def _q_cfd_tableau_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.cfd import cfd_tableau_metrics_df
+
+    out = cfd_tableau_metrics_df(
+        _read(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderpriority"],
+        tableau=[
+            {"o_orderstatus": "F"},
+            {"o_orderstatus": "O"},
+            {"o_orderstatus": "P"},
+        ],
+        error_threshold=0.001,
+        min_support=100,
+    )
+    return out.select(
+        "pattern_id", "pattern", "support", "num_violating_clusters",
+        "num_violating_rows", "error", "confidence", "holds",
+    )
+
+
+def _q_od_violations_lineitem_2col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # list-based OD (order/order.h:17-47): 2-column LHS list, lexicographic
+    from desbordante_spark.operators.od import od_violations
+
+    return od_violations(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_linenumber", "l_quantity"],
+        "l_extendedprice",
+        context=["l_orderkey"],
+    )
+
+
+def _q_mfd_highlights_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from desbordante_spark.operators.mfd import mfd_highlights
+
+    return mfd_highlights(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_totalprice"],
+        parameter=50000.0,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -406,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
         "stats_profile_lineitem": _q_stats_profile_lineitem,
+        "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
         "word_stats_documents": _q_word_stats_documents,
         "top_words_documents": _q_top_words_documents,
         "drift_events_by_type": _q_drift_events_by_type,
@@ -425,11 +592,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
         "fd_discovery_orders": _q_fd_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
+        "ind_discovery_nary": _q_ind_discovery_nary,
         "dd_violations_supplier": _q_dd_violations_supplier,
         "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ann_topk_lsh_embeddings": _q_ann_topk_lsh_embeddings,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "cfd_tableau_orders": _q_cfd_tableau_orders,
+        "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
+        "mfd_highlights_orders": _q_mfd_highlights_orders,
     }
 
 
@@ -600,6 +771,238 @@ def _ind_discovery_oracle() -> str:
     )
 
 
+def _fold_dot(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB dot product with Spark's exact fold order: ``F.aggregate`` is a
+    left fold from 0.0, and ``list_reduce`` seeds with the first element —
+    identical IEEE sums (0.0 + x == x), so bucket signs and cosines are
+    bit-equal across engines."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_bucket_sql(vec: str, planes: int, dim: int = 64, seed: int = 42) -> str:
+    """The md5-derived hyperplane bucket (similarity.lsh_bucket) as a DuckDB
+    expression — same literal plane components, same sign rule."""
+    from desbordante_spark.operators.similarity import plane_components
+
+    terms = []
+    for p, comps in enumerate(plane_components(planes, dim, seed)):
+        lit = "[" + ", ".join(f"{c!r}e0" for c in comps) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[i]::DOUBLE * ({lit})[i]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _embedding_cte(planes: int, dim: int = 64) -> str:
+    nrm = _fold_dot("embedding", "embedding", dim)
+    return (
+        f"e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm, "
+        f"{_lsh_bucket_sql('embedding', planes, dim)} AS bucket "
+        "FROM embeddings)"
+    )
+
+
+def _ann_lsh_oracle(planes: int = 6, k: int = 3, dim: int = 64) -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2 ** p})" for p in range(planes)]
+    )
+    dot = _fold_dot("a.embedding", "b.embedding", dim)
+    return f"""
+WITH {_embedding_cte(planes, dim)},
+qq AS (SELECT * FROM e WHERE vec_id < 10),
+pr AS (SELECT vec_id, unnest([{probes}]) AS pb FROM qq),
+cand AS (SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM pr JOIN e c ON c.bucket = pr.pb AND c.vec_id <> pr.vec_id),
+sc AS (SELECT cand.query_id, cand.neighbor_id,
+              {dot}
+              / (CASE WHEN a.nrm * b.nrm > 0 THEN a.nrm * b.nrm
+                      ELSE 1.0 END) AS cosine
+       FROM cand JOIN e a ON a.vec_id = cand.query_id
+                 JOIN e b ON b.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cosine_r, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _near_dup_oracle(
+    planes: int = 4, threshold: float = 0.3, max_bucket: int = 1000,
+    dim: int = 64,
+) -> str:
+    dot = _fold_dot("a.embedding", "b.embedding", dim)
+    return f"""
+WITH {_embedding_cte(planes, dim)},
+sz AS (SELECT bucket, count(*) AS bsz FROM e GROUP BY bucket),
+bb AS (SELECT e.* FROM e JOIN sz ON e.bucket = sz.bucket
+       WHERE sz.bsz <= {max_bucket}),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot}
+             / (CASE WHEN a.nrm * b.nrm > 0 THEN a.nrm * b.nrm
+                     ELSE 1.0 END) AS cosine
+      FROM bb a JOIN bb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM p WHERE cosine >= {threshold!r}e0
+"""
+
+
+_KINDS_SQL = "('text', 'image', 'audio', 'video')"
+
+
+def _span_invariant_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{_DOCS_PATH}/*.parquet')),
+r AS (SELECT doc_id,
+  len(list_filter(list_transform(range(1, len(spans) + 1),
+      i -> spans[i]."offset" <> i - 1), x -> x)) > 0 AS bad_offset,
+  len(list_filter(spans, s -> s.kind IS NULL
+      OR s.kind NOT IN {_KINDS_SQL})) > 0 AS bad_kind,
+  len(list_filter(spans, s -> CASE WHEN s.kind = 'text'
+      THEN (s.text IS NULL OR s.text = '')
+      ELSE (s.text IS NULL OR s.text <> '') END)) > 0 AS bad_text,
+  len(list_filter(spans, s -> CASE WHEN s.kind = 'text'
+      THEN s.media_ref IS NOT NULL
+      ELSE s.media_ref IS NULL END)) > 0 AS bad_ref
+FROM d)
+SELECT doc_id,
+       concat_ws(',',
+         CASE WHEN bad_offset THEN 'offset_order' END,
+         CASE WHEN bad_kind THEN 'bad_kind' END,
+         CASE WHEN bad_text THEN 'text_presence' END,
+         CASE WHEN bad_ref THEN 'media_ref_presence' END) AS reasons
+FROM r WHERE bad_offset OR bad_kind OR bad_text OR bad_ref
+"""
+
+
+def _referential_staged_oracle() -> str:
+    return f"""
+WITH refs AS (SELECT s.media_ref AS media_ref
+              FROM (SELECT unnest(spans) AS s
+                    FROM read_parquet('{_DOCS_PATH}/*.parquet'))),
+l AS (SELECT media_ref, count(*) AS ref_count FROM refs
+      WHERE media_ref IS NOT NULL GROUP BY media_ref),
+r AS (SELECT DISTINCT media_ref
+      FROM read_parquet('{_CAT_PATH}/*.parquet')
+      WHERE media_ref IS NOT NULL),
+j AS (SELECT l.*, r.media_ref AS rkey FROM l
+      LEFT JOIN r ON l.media_ref = r.media_ref),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_distinct,
+         CAST(coalesce(sum(CASE WHEN rkey IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS num_missing_values,
+         CAST(coalesce(sum(CASE WHEN rkey IS NULL THEN ref_count ELSE 0 END), 0)
+              AS BIGINT) AS num_violating_rows
+  FROM j)
+SELECT total_distinct, num_missing_values, num_violating_rows,
+       CASE WHEN total_distinct > 0
+            THEN CAST(num_missing_values AS DOUBLE)
+                 / CAST(total_distinct AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN num_missing_values = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
+"""
+
+
+def _nary_ind_oracle() -> str:
+    """Mind over {orders_sample (o_orderkey%7=0), orders} × (o_custkey,
+    o_orderpriority): every arity ≤ 2 candidate is probed directly (a
+    holding n-ary IND implies holding projections, so unconditional probing
+    equals the levelwise gating)."""
+    tables = {"orders_sample": "s", "orders": "orders"}
+    cols = ["o_custkey", "o_orderpriority"]
+    ctes = ["s AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)"]
+    branches = []
+    idx = 0
+
+    def proj(alias: str, table_sql: str, cs: list[str]) -> str:
+        sel = ", ".join(
+            f"CAST({c} AS VARCHAR) AS v{i}" for i, c in enumerate(cs)
+        )
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in cs)
+        return f"{alias} AS (SELECT DISTINCT {sel} FROM {table_sql} WHERE {notnull})"
+
+    from itertools import permutations
+
+    cand: list[tuple[str, list[str], str, list[str]]] = []
+    for lt in tables:
+        for rt in tables:
+            if lt == rt:
+                continue
+            for lc in cols:
+                for rc in cols:
+                    cand.append((lt, [lc], rt, [rc]))
+            for rperm in permutations(cols):
+                cand.append((lt, list(cols), rt, list(rperm)))
+    for lt, lcs, rt, rcs in cand:
+        la, ra, ca = f"l{idx}", f"r{idx}", f"c{idx}"
+        ctes.append(proj(la, tables[lt], lcs))
+        ctes.append(proj(ra, tables[rt], rcs))
+        on = " AND ".join(f"{la}.v{i} = {ra}.v{i}" for i in range(len(lcs)))
+        ctes.append(
+            f"{ca} AS (SELECT CAST(count(*) AS BIGINT) AS nd, "
+            f"CAST(coalesce(sum(CASE WHEN {ra}.v0 IS NULL THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS miss FROM {la} LEFT JOIN {ra} ON {on})"
+        )
+        lhs = f"{lt}[{','.join(lcs)}]"
+        rhs = f"{rt}[{','.join(rcs)}]"
+        branches.append(
+            f"SELECT '{lhs}' AS lhs, '{rhs}' AS rhs, {len(lcs)} AS arity, "
+            f"nd AS lhs_distinct, miss AS missing FROM {ca}"
+        )
+        idx += 1
+    return (
+        "WITH " + ",\n".join(ctes) + ",\np AS (" + " UNION ALL ".join(branches)
+        + ") SELECT lhs, rhs, CAST(arity AS INT) AS arity, lhs_distinct, "
+        "missing, 0.0e0 AS error, CAST(1 AS INT) AS holds "
+        "FROM p WHERE lhs_distinct > 0 AND missing = 0"
+    )
+
+
+def _cfd_tableau_oracle() -> str:
+    patterns = [("F", 0), ("O", 1), ("P", 2)]
+    parts = []
+    for val, pid in patterns:
+        parts.append(f"""
+SELECT {pid} AS pattern_id, 'o_orderstatus={val}' AS pattern,
+       support, num_violating_clusters, num_violating_rows, error,
+       1.0 - error AS confidence,
+       CAST(CASE WHEN error <= 0.001 AND support >= 100
+            THEN 1 ELSE 0 END AS INT) AS holds
+FROM (
+  WITH sub AS (SELECT * FROM orders WHERE o_orderstatus = '{val}'),
+  l1 AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+         FROM sub GROUP BY o_custkey, o_orderpriority),
+  l2 AS (SELECT o_custkey,
+                CAST(sum(cnt) AS BIGINT) AS cluster_size,
+                CAST(count(*) AS BIGINT) AS num_distinct_rhs,
+                CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS eq_pairs2x
+         FROM l1 GROUP BY o_custkey),
+  m AS (
+    SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS support,
+           CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS num_violating_clusters,
+           CAST(coalesce(sum(CASE WHEN num_distinct_rhs > 1 THEN cluster_size
+                             ELSE 0 END), 0) AS BIGINT) AS num_violating_rows,
+           CAST(coalesce(sum(cluster_size * (cluster_size - 1) - eq_pairs2x),
+                0) AS BIGINT) AS conflicts
+    FROM l2)
+  SELECT support, num_violating_clusters, num_violating_rows,
+         CASE WHEN support > 1
+              THEN CAST(conflicts AS DOUBLE)
+                   / CAST(support * support - support AS DOUBLE)
+              ELSE 0.0 END AS error
+  FROM m)
+""")
+    return " UNION ALL ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ucc_violations_orders_custkey": (
@@ -685,6 +1088,30 @@ SELECT 'l_returnflag',
        CAST(min(CASE WHEN l_returnflag <> '' THEN l_returnflag END) AS VARCHAR),
        CAST(max(CASE WHEN l_returnflag <> '' THEN l_returnflag END) AS VARCHAR),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM lineitem
+""",
+        "stats_profile_lineitem_approx": """
+SELECT 'l_quantity' AS col_name,
+       CAST(count(l_quantity) AS BIGINT) AS count_values,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(1 AS INT) AS has_distinct,
+       CAST(3 AS INT) AS n_quantiles,
+       round(avg(l_quantity), 6) AS avg_rounded
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber',
+       CAST(count(l_linenumber) AS BIGINT),
+       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(1 AS INT), CAST(3 AS INT),
+       round(avg(l_linenumber), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(count(l_extendedprice) AS BIGINT),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(1 AS INT), CAST(3 AS INT),
+       round(avg(l_extendedprice), 6)
 FROM lineitem
 """,
         "word_stats_documents": """
@@ -899,8 +1326,54 @@ SELECT total_rows, num_clusters,
                        ELSE 0.0 END) <= 0.3 THEN 1 ELSE 0 END AS INT) AS holds
 FROM m
 """,
-        "fd_discovery_orders": _fd_level1_sql("duckdb"),
+        "fd_discovery_orders": _fd_minimal_oracle(),
         "ind_discovery_tpch": _ind_discovery_oracle(),
+        "ind_discovery_nary": _nary_ind_oracle(),
+        "span_invariant_violations": _span_invariant_oracle(),
+        "referential_media_catalog": _referential_staged_oracle(),
+        "ann_topk_lsh_embeddings": _ann_lsh_oracle(planes=6, k=3),
+        "embedding_near_dup": _near_dup_oracle(
+            planes=4, threshold=0.3, max_bucket=1000
+        ),
+        "cfd_tableau_orders": _cfd_tableau_oracle(),
+        "od_violations_lineitem_2col": """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CAST(count(*) AS BIGINT) AS group_size,
+         min(l_extendedprice) AS min_rhs,
+         max(l_extendedprice) AS max_rhs
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+  GROUP BY l_orderkey, l_linenumber, l_quantity),
+w AS (
+  SELECT *, max(max_rhs) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber ASC, l_quantity ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_max_rhs
+  FROM g)
+SELECT l_orderkey, l_linenumber, l_quantity, group_size, min_rhs, prev_max_rhs
+FROM w WHERE prev_max_rhs > min_rhs
+""",
+        "mfd_highlights_orders": """
+WITH env AS (SELECT o_custkey, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey),
+e AS (SELECT * FROM env WHERE hi - lo > 50000.0),
+v AS (SELECT DISTINCT o_custkey, o_totalprice AS point
+      FROM orders WHERE o_totalprice IS NOT NULL),
+p AS (SELECT e.o_custkey, v.point,
+             CASE WHEN e.hi - v.point > v.point - e.lo THEN e.hi ELSE e.lo END
+               AS furthest_point,
+             greatest(e.hi - v.point, v.point - e.lo) AS max_distance
+      FROM v JOIN e ON v.o_custkey = e.o_custkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY max_distance DESC, point ASC) AS rn
+      FROM p)
+SELECT o_custkey, point, furthest_point, max_distance,
+       CAST(CASE WHEN max_distance > 50000.0 THEN 1 ELSE 0 END AS INT)
+         AS exceeds
+FROM r WHERE rn <= 100
+""",
         "simhash_near_pairs": f"""
 WITH f AS ({_simhash_oracle()}),
 p AS (SELECT a.id AS id_a, b.id AS id_b,

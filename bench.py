@@ -27,6 +27,7 @@ HEADLINE = [
     "afd_metrics_lineitem",
     "ind_metrics_lineitem_orders",
     "stats_profile_lineitem",
+    "stats_profile_lineitem_approx",
     "od_violations_lineitem",
     "mfd_violations_orders",
     "drift_events_by_type",

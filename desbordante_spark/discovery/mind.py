@@ -1,0 +1,174 @@
+"""n-ary IND discovery — Mind-style levelwise search over Spider's unary INDs.
+
+Reference: Mind generates arity-k candidates from valid arity-(k-1) INDs
+(Apriori downward closure — every projection of a valid n-ary IND is a valid
+IND) and validates each against the data
+(/root/reference/src/core/algorithms/ind/mind/mind.h:17-20, mind.cpp).
+
+Spark-first: the driver loop only does candidate bookkeeping (tiny — pairs
+of table/column lists). Validation of ALL candidates of a level happens in
+ONE Spark job: each candidate contributes its LHS and RHS *distinct value
+tuples* (arrays of strings, nulls excluded) tagged with the candidate id and
+side; a single groupBy(candidate, value) then counts, per candidate, how
+many LHS tuples are missing from the RHS — the same union + double-agg shape
+as the Spider port (discovery/spider.py), generalized from scalar values to
+tuples. No per-candidate jobs, no pairwise loops; the shuffle co-locates
+equal tuples.
+
+Candidate generation (mind.cpp semantics): an arity-k candidate pairs k
+aligned unary INDs (same table pair, all-distinct LHS columns, all-distinct
+RHS columns), canonicalized by sorting on the LHS column list; it survives
+only if every (k-1)-ary projection was valid at the previous level.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["discover_nary_inds"]
+
+
+def _fmt(table: str, cols: tuple[str, ...]) -> str:
+    return f"{table}[{','.join(cols)}]"
+
+
+def _level_validate(
+    tables: dict[str, DataFrame],
+    candidates: list[tuple[str, tuple[str, ...], str, tuple[str, ...]]],
+    cast_to: str,
+) -> dict[int, tuple[int, int]]:
+    """One job for the whole level: per candidate id →
+    ``(lhs_distinct, missing)`` where missing = # distinct LHS tuples absent
+    from the RHS side."""
+    parts = []
+    for cid, (lt, lcols, rt, rcols) in enumerate(candidates):
+        for side, t, cols in (("L", lt, lcols), ("R", rt, rcols)):
+            v = F.array(*[F.col(c).cast(cast_to) for c in cols])
+            proj = (
+                tables[t]
+                .select(v.alias("v"))
+                .filter(~F.exists(F.col("v"), lambda x: x.isNull()))
+                .distinct()
+                .select(
+                    F.lit(cid).alias("cid"),
+                    F.col("v"),
+                    F.lit(side == "L").alias("is_l"),
+                )
+            )
+            parts.append(proj)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = (
+        u.groupBy("cid", "v")
+        .agg(
+            F.max(F.col("is_l").cast("int")).alias("has_l"),
+            F.max((~F.col("is_l")).cast("int")).alias("has_r"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.sum("has_l").alias("lhs_distinct"),
+            F.sum(
+                (F.col("has_l") * (1 - F.col("has_r")))
+            ).alias("missing"),
+        )
+        .collect()
+    )
+    return {int(r["cid"]): (int(r["lhs_distinct"]), int(r["missing"]))
+            for r in agg}
+
+
+def discover_nary_inds(
+    tables: dict[str, DataFrame],
+    columns: dict[str, list[str]] | None = None,
+    max_arity: int = 2,
+    max_error: float = 0.0,
+    cast_to: str = "string",
+) -> DataFrame:
+    """All valid INDs up to ``max_arity`` among the given tables/columns.
+
+    Output: ``(lhs, rhs, arity, lhs_distinct, missing, error, holds)`` with
+    ``lhs``/``rhs`` as ``table[c1,c2,...]`` strings, error = missing distinct
+    LHS-tuple fraction (Spider's AIND measure generalized to tuples).
+    ``max_error > 0`` accepts AINDs but levelwise pruning then assumes
+    projections of accepted INDs were themselves accepted (exact for
+    ``max_error=0``, the Mind setting).
+    """
+    spark = next(iter(tables.values())).sparkSession
+    cols_of = {
+        t: list((columns or {}).get(t, df.columns) if columns else df.columns)
+        for t, df in tables.items()
+    }
+    results: list[tuple[str, str, int, int, int, float, int]] = []
+
+    # level 1: every cross-table unary pair
+    unary_cands = [
+        (lt, (lc,), rt, (rc,))
+        for lt in tables for rt in tables if lt != rt
+        for lc in cols_of[lt] for rc in cols_of[rt]
+    ]
+    valid: set[tuple[str, str, tuple[tuple[str, str], ...]]] = set()
+    cands = unary_cands
+    for arity in range(1, max_arity + 1):
+        if not cands:
+            break
+        stats = _level_validate(tables, cands, cast_to)
+        new_valid = set()
+        for cid, (lt, lcols, rt, rcols) in enumerate(cands):
+            nd, miss = stats.get(cid, (0, 0))
+            err = miss / nd if nd else 0.0
+            if nd and err <= max_error:
+                pairs = tuple(sorted(zip(lcols, rcols)))
+                new_valid.add((lt, rt, pairs))
+                results.append(
+                    (_fmt(lt, lcols), _fmt(rt, rcols), arity, nd, miss,
+                     err, 1)
+                )
+        valid = new_valid
+        if arity == max_arity:
+            break
+        # arity+1 candidates: combine aligned unary pairs per table pair,
+        # prune by downward closure on the just-validated level
+        by_tables: dict[tuple[str, str], list[tuple[tuple[str, str], ...]]] = {}
+        for lt, rt, pairs in valid:
+            by_tables.setdefault((lt, rt), []).append(pairs)
+        # pool of valid unary pairs per table pair (projections of any valid
+        # IND are valid, so the unary pool is derivable from level-1 results)
+        unary_pool: dict[tuple[str, str], set[tuple[str, str]]] = {}
+        for lt, rt, pairs in valid if arity == 1 else []:
+            unary_pool.setdefault((lt, rt), set()).add(pairs[0])
+        if arity > 1:
+            for (lt, rt), plist in by_tables.items():
+                for pairs in plist:
+                    unary_pool.setdefault((lt, rt), set()).update(pairs)
+        nxt = []
+        seen = set()
+        prev = {(lt, rt): set(map(frozenset, plist))
+                for (lt, rt), plist in by_tables.items()}
+        for (lt, rt), pool in unary_pool.items():
+            for combo in combinations(sorted(pool), arity + 1):
+                lcols = tuple(p[0] for p in combo)
+                rcols = tuple(p[1] for p in combo)
+                if len(set(lcols)) < len(lcols) or len(set(rcols)) < len(rcols):
+                    continue
+                key = (lt, rt, combo)
+                if key in seen:
+                    continue
+                # downward closure: every arity-k projection must be valid
+                if any(
+                    frozenset(sub) not in prev.get((lt, rt), set())
+                    for sub in combinations(combo, arity)
+                ):
+                    continue
+                seen.add(key)
+                nxt.append((lt, lcols, rt, rcols))
+        cands = nxt
+
+    return spark.createDataFrame(
+        sorted(results),
+        "lhs string, rhs string, arity int, lhs_distinct bigint, "
+        "missing bigint, error double, holds int",
+    )

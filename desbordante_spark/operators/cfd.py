@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from desbordante_spark.model import FDResult
 from desbordante_spark.operators.fd import fd_metrics_df, fd_violations
 
-__all__ = ["cfd_verify", "cfd_metrics_df"]
+__all__ = ["cfd_verify", "cfd_metrics_df", "cfd_tableau_metrics_df",
+           "cfd_tableau_verify"]
 
 WILDCARD = "_"
 
@@ -34,6 +35,112 @@ def _apply_pattern(df: DataFrame, pattern: Mapping[str, Any]) -> DataFrame:
             continue
         out = out.filter(F.col(col) == F.lit(val))
     return out
+
+
+def _pattern_cond(pattern: Mapping[str, Any]) -> F.Column:
+    cond = F.lit(True)
+    for col, val in pattern.items():
+        if val == WILDCARD:
+            continue
+        cond = cond & (F.col(col) == F.lit(val))
+    return cond
+
+
+def _pattern_label(pattern: Mapping[str, Any]) -> str:
+    return " AND ".join(
+        f"{c}={pattern[c]}" for c in sorted(pattern) if pattern[c] != WILDCARD
+    ) or "(all)"
+
+
+def cfd_tableau_metrics_df(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    tableau: Sequence[Mapping[str, Any]],
+    error_threshold: float = 0.0,
+    min_support: int = 0,
+) -> DataFrame:
+    """Per-pattern CFD verdicts for a pattern *tableau* (reference CFDs bind
+    a tableau of constant/wildcard rows, /root/reference/src/core/algorithms/
+    cfd/, options cfd_minsup/cfd_minconf in config/names.h:46-51).
+
+    ONE data pass for the whole tableau: each row is tagged with every
+    pattern it matches (a row-local array filter + explode — rows matching k
+    patterns fan out k times, rows matching none drop before the shuffle),
+    then the standard two-level FD aggregation runs keyed by ``pattern_id``.
+    Patterns with zero matching rows still appear (support 0; vacuously
+    holding unless ``min_support`` > 0 rejects them).
+
+    Output: ``(pattern_id, pattern, support, num_violating_clusters,
+    num_violating_rows, error, confidence, holds)`` — ``holds`` requires
+    confidence ≥ 1 − error_threshold AND support ≥ min_support.
+    """
+    tableau = list(tableau)
+    if not tableau:
+        raise ValueError("empty tableau")
+    tags = F.array(
+        *[F.when(_pattern_cond(p), F.lit(i)) for i, p in enumerate(tableau)]
+    )
+    tagged = df.withColumn(
+        "pattern_id", F.explode(F.filter(tags, lambda x: x.isNotNull()))
+    )
+    m = fd_metrics_df(tagged, lhs, rhs, error_threshold, by=["pattern_id"])
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(i, _pattern_label(p)) for i, p in enumerate(tableau)],
+        "pattern_id int, pattern string",
+    )
+    j = F.broadcast(dim).join(m, "pattern_id", "left")
+    support = F.coalesce(F.col("total_rows"), F.lit(0)).cast("long")
+    error = F.coalesce(F.col("error"), F.lit(0.0))
+    holds = (
+        (error <= F.lit(error_threshold))
+        & (support >= F.lit(int(min_support)))
+    )
+    return j.select(
+        "pattern_id",
+        "pattern",
+        support.alias("support"),
+        F.coalesce(F.col("num_violating_clusters"), F.lit(0)).cast("long")
+        .alias("num_violating_clusters"),
+        F.coalesce(F.col("num_violating_rows"), F.lit(0)).cast("long")
+        .alias("num_violating_rows"),
+        error.alias("error"),
+        (1.0 - error).alias("confidence"),
+        holds.cast("int").alias("holds"),
+    )
+
+
+def cfd_tableau_verify(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    tableau: Sequence[Mapping[str, Any]],
+    error_threshold: float = 0.0,
+    min_support: int = 0,
+) -> FDResult:
+    """Combined tableau verdict: the CFD holds iff EVERY pattern row holds
+    (per-pattern support/confidence in ``details["patterns"]``)."""
+    rows = cfd_tableau_metrics_df(
+        df, lhs, rhs, tableau, error_threshold, min_support
+    ).collect()
+    total = sum(int(r["support"]) for r in rows)
+    nvr = sum(int(r["num_violating_rows"]) for r in rows)
+    nvc = sum(int(r["num_violating_clusters"]) for r in rows)
+    worst = max((float(r["error"]) for r in rows), default=0.0)
+    return FDResult(
+        holds=all(bool(r["holds"]) for r in rows),
+        error=worst,
+        num_violating_clusters=nvc,
+        num_violating_rows=nvr,
+        total_rows=total,
+        violations=None,
+        lhs=tuple(lhs),
+        rhs=tuple(rhs),
+        details={"patterns": [r.asDict() for r in rows],
+                 "error_threshold": error_threshold,
+                 "min_support": min_support},
+    )
 
 
 def cfd_metrics_df(

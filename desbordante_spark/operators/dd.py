@@ -117,12 +117,18 @@ def dd_verify(
 ) -> VerificationResult:
     """DD verdict: holds iff no qualifying pair violates the RHS bound.
     ``num_violating_clusters`` = violating pairs; ``error`` = violating-pair
-    fraction among qualifying pairs."""
+    fraction among qualifying pairs. ONE banded-join pass — violating and
+    qualifying counts come from the same aggregate (conditional sum), not
+    two joins."""
+    pairs, dtypes = _qualifying_pairs(df, lhs_bounds, row_id, (rhs_col,))
+    rd = _dist(F.col(f"a.{rhs_col}"), F.col(f"b.{rhs_col}"), dtypes[rhs_col])
+    is_viol = ~((rd >= F.lit(float(rhs_lo))) & (rd <= F.lit(float(rhs_hi))))
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.coalesce(F.sum(is_viol.cast("long")), F.lit(0)).alias("nv"),
+    ).collect()[0]
+    nq, nv = int(m["nq"]), int(m["nv"])
     viol = dd_violations(df, lhs_bounds, rhs_col, rhs_lo, rhs_hi, row_id)
-    nv = viol.count()
-    # qualifying pairs (error denominator) — same banded join, no RHS filter
-    pairs, _ = _qualifying_pairs(df, lhs_bounds, row_id, ())
-    nq = pairs.count()
     return VerificationResult(
         holds=nv == 0,
         error=nv / nq if nq else 0.0,

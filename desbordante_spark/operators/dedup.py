@@ -25,8 +25,12 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from desbordante_spark.operators.caps import report_dropped as _report_dropped
 
 __all__ = [
     "exact_duplicates",
@@ -99,10 +103,13 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a, id_b)`` (id_a < id_b) sharing at
     least one LSH band. Buckets larger than ``max_bucket`` are skipped
-    (degenerate mass buckets would explode quadratically)."""
+    (degenerate mass buckets would explode quadratically) — capped AND
+    flagged: pass ``dropped_report={}`` to receive
+    ``{"n_buckets_dropped", "n_ids_in_dropped"}`` counts (logged when > 0)."""
     rows_per_band = num_hashes // bands
     band_structs = []
     for b in range(bands):
@@ -115,6 +122,12 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", "b.band_idx", "b.band_hash")
+    _report_dropped(
+        exploded.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("bsz")
+        ),
+        "bsz", max_bucket, dropped_report, "lsh_candidate_pairs",
+    )
     buckets = (
         exploded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
@@ -186,11 +199,14 @@ def near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_words: int = 1,
+    max_bucket: int = 200,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact Jaccard filter ≥ threshold."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket,
+                               dropped_report)
     scored = jaccard_pairs(df, cand, id_col, text_col, shingle_words)
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -227,10 +243,29 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 200,
+    dropped_report: dict | None = None,
+    partial_ok: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on each 16-bit chunk (pigeonhole —
-    Hamming ≤ chunks−1 implies an equal chunk), verify
-    ``bit_count(xor)`` ≤ ``max_hamming`` exactly."""
+    """Near-dup pairs by SimHash: block on each 16-bit chunk, verify
+    ``bit_count(xor)`` ≤ ``max_hamming`` exactly.
+
+    Candidate-generation contract: equal-chunk blocking is COMPLETE only for
+    ``max_hamming ≤ chunks − 1`` (pigeonhole — fewer differing bits than
+    chunks forces an equal chunk). A larger ``max_hamming`` still returns
+    only pairs sharing at least one chunk — a recall-lossy candidate set
+    (pairs differing in every chunk are missed); pass ``partial_ok=True`` to
+    acknowledge that, else a ``UserWarning`` is raised. Over-cap buckets are
+    capped AND flagged via ``dropped_report`` (see ``lsh_candidate_pairs``).
+    """
+    if max_hamming > chunks - 1 and not partial_ok:
+        warnings.warn(
+            f"simhash_near_pairs: max_hamming={max_hamming} > chunks-1="
+            f"{chunks - 1}; equal-chunk blocking only guarantees recall up "
+            f"to hamming {chunks - 1} — pairs differing in every chunk are "
+            "missed. Pass partial_ok=True to silence.",
+            UserWarning,
+            stacklevel=2,
+        )
     fp = fingerprints
     blocks = []
     for c in range(chunks):
@@ -240,6 +275,10 @@ def simhash_near_pairs(
     exploded = fp.select("id", *[f"sh{c}" for c in range(chunks)],
                          F.explode(F.array(*blocks)).alias("b"))
     sig = F.struct(*[F.col(f"sh{c}") for c in range(chunks)])
+    _report_dropped(
+        exploded.groupBy("b.blk", "b.key").agg(F.count(F.lit(1)).alias("bsz")),
+        "bsz", max_bucket, dropped_report, "simhash_near_pairs",
+    )
     buckets = (
         exploded.groupBy("b.blk", "b.key")
         .agg(F.collect_list(F.struct(F.col("id"), sig.alias("sig"))).alias("xs"))

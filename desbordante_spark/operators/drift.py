@@ -116,9 +116,12 @@ def drift_metrics(
     g = g.withColumn("n1", F.sum("o1").over(wp)).withColumn(
         "n2", F.sum("o2").over(wp)
     )
-    # order buckets numerically when possible, else lexically
+    # order buckets numerically when possible, else lexically — try_cast, not
+    # cast: ANSI mode (on in Spark 4) would raise CAST_INVALID_INPUT on the
+    # non-numeric buckets discrete=True produces (the DuckDB oracle's
+    # TRY_CAST has the same fall-back-to-lexical semantics)
     order_key = F.coalesce(
-        F.col("bucket").cast("double"),
+        F.col("bucket").try_cast("double"),
         F.lit(float("inf")),
     )
     wcum = wp.orderBy(order_key, F.col("bucket")).rowsBetween(

@@ -265,13 +265,16 @@ def fd_verify(
     )
 
 
-#: highlight orderings (fd_verifier.h:76-83): sort violating clusters by one
-#: of these keys, ascending or descending.
+#: highlight orderings (fd_verifier.h:76-83 — 4 keys × asc/desc = the
+#: reference's 8 sort orders): proportion (SortHighlightsByProportion*),
+#: num_distinct_rhs (ByNum*), cluster_size (BySize*), lhs (ByLhs* — the LHS
+#: value tuple itself); conflict_pairs is an extra.
 HIGHLIGHT_SORT_KEYS = {
     "proportion": "most_frequent_rhs_proportion",   # reference default (desc)
     "cluster_size": "cluster_size",
     "num_distinct_rhs": "num_distinct_rhs",
     "conflict_pairs": "conflict_pairs",
+    "lhs": None,  # sort by the LHS value columns themselves
 }
 
 
@@ -319,5 +322,9 @@ def fd_highlights(
         "most_frequent_rhs_proportion", "conflict_pairs", "row_ids",
         (F.col("cluster_size") > F.col("_seen")).alias("truncated"),
     )
+    if key is None:  # sort_by="lhs": order by the LHS value tuple
+        return out.orderBy(
+            *[(F.col(c).asc() if ascending else F.col(c).desc()) for c in lhs]
+        )
     order = F.col(key).asc() if ascending else F.col(key).desc()
     return out.orderBy(order, *[F.col(c).asc() for c in lhs])

@@ -33,12 +33,12 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from desbordante_spark.model import MFDResult
 
-__all__ = ["mfd_cluster_diameters", "mfd_verify"]
+__all__ = ["mfd_cluster_diameters", "mfd_highlights", "mfd_verify"]
 
 
 def _euclid1d_diameters(df, lhs, rhs_col, null_inf):
@@ -62,10 +62,14 @@ def _euclid1d_diameters(df, lhs, rhs_col, null_inf):
 
 
 def _euclid_nd_diameters(df, lhs, rhs, null_inf, max_points):
+    # diameter over *distinct* Y points (pairwise distance is invariant to
+    # multiplicity); true cluster row counts joined back separately — the
+    # distinct-point count is NOT the cluster size (it undercounts whenever
+    # Y values repeat), matching the 1-D/levenshtein/cosine paths.
     pts = df.select(*lhs, *rhs).distinct()
     out_schema = ", ".join(
         [f"`{c}` {dict(df.dtypes)[c]}" for c in lhs]
-        + ["cluster_size long", "diameter double", "approximate boolean"]
+        + ["diameter double", "approximate boolean"]
     )
 
     def per_group(key, pdf):
@@ -85,11 +89,19 @@ def _euclid_nd_diameters(df, lhs, rhs, null_inf, max_points):
         if has_null and null_inf:
             d = float("inf")
         return pd.DataFrame(
-            [[*key, len(pdf), d, approx]],
-            columns=[*lhs, "cluster_size", "diameter", "approximate"],
+            [[*key, d, approx]],
+            columns=[*lhs, "diameter", "approximate"],
         )
 
-    return pts.groupBy(*lhs).applyInPandas(per_group, schema=out_schema)
+    diam = pts.groupBy(*lhs).applyInPandas(per_group, schema=out_schema).alias("d")
+    sizes = df.groupBy(*lhs).agg(F.count(F.lit(1)).alias("cluster_size")).alias("s")
+    cond = [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in lhs]
+    return sizes.join(diam, cond, "left").select(
+        *[F.col(f"s.{c}").alias(c) for c in lhs],
+        F.col("s.cluster_size").alias("cluster_size"),
+        F.coalesce(F.col("d.diameter"), F.lit(0.0)).alias("diameter"),
+        F.coalesce(F.col("d.approximate"), F.lit(False)).alias("approximate"),
+    )
 
 
 def _levenshtein_diameters(df, lhs, rhs_col, null_inf):
@@ -197,6 +209,108 @@ def mfd_cluster_diameters(
     if metric == "cosine":
         return _cosine_diameters(df, lhs, rhs[0], q, dist_from_null_is_infinity)
     raise ValueError(f"unknown metric {metric!r}")
+
+
+def mfd_highlights(
+    df: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    parameter: float,
+    metric: str = "euclidean",
+    evidence_cap: int = 100,
+) -> DataFrame:
+    """Per-point highlights for violating clusters, mirroring the reference's
+    ``get_highlights`` (bind_mfd_verification.cpp:21-27, Highlight =
+    (data_index, furthest_data_index, max_distance), highlight_calculator.cpp
+    :23-48): for every distinct Y point of a cluster whose diameter exceeds
+    ``parameter``, the furthest other point and the distance to it.
+
+    Distributed adaptation: points are identified by *value* (row indices
+    don't exist in a DataFrame); ties on distance resolve to the min-side
+    point exactly as the reference (dist_to_max > dist_to_min picks max).
+    Per-cluster evidence is capped at ``evidence_cap`` points (largest
+    ``max_distance`` first, then value asc — deterministic).
+
+    Output: ``(X..., point, furthest_point, max_distance, exceeds)``.
+    Metrics: ``euclidean`` (1-D — one hash agg + one broadcast-joinable
+    grid, no pairs) and ``levenshtein`` (within-cluster distinct-value
+    self-join, JVM ``levenshtein()``).
+    """
+    lhs = list(lhs)
+    if metric == "euclidean":
+        if len(rhs) != 1:
+            raise ValueError("highlights: euclidean supports 1-D RHS")
+        y = F.col(rhs[0]).cast("double")
+        base = df.filter(y.isNotNull())
+        # cluster envelope (one hash agg) joined to the distinct points — no
+        # collect_set, so a degenerate cluster with millions of distinct Y
+        # values never materializes an array
+        env = base.groupBy(*lhs).agg(
+            F.min(y).alias("_lo"), F.max(y).alias("_hi")
+        ).filter(F.col("_hi") - F.col("_lo") > parameter).alias("e")
+        vals = base.select(*lhs, y.alias("point")).distinct().alias("v")
+        cond = [F.col(f"v.{c}").eqNullSafe(F.col(f"e.{c}")) for c in lhs]
+        p = vals.join(env, cond, "inner").select(
+            *[F.col(f"e.{c}").alias(c) for c in lhs], "_lo", "_hi", "point"
+        )
+        dist_to_max = F.col("_hi") - F.col("point")
+        dist_to_min = F.col("point") - F.col("_lo")
+        out = p.select(
+            *lhs,
+            "point",
+            F.when(dist_to_max > dist_to_min, F.col("_hi"))
+            .otherwise(F.col("_lo")).alias("furthest_point"),
+            F.greatest(dist_to_max, dist_to_min).alias("max_distance"),
+        )
+    elif metric == "levenshtein":
+        if len(rhs) != 1:
+            raise ValueError("highlights: levenshtein needs a single RHS")
+        rhs_col = rhs[0]
+        vals = df.filter(F.col(rhs_col).isNotNull()).select(
+            *lhs, F.col(rhs_col).alias("point")
+        ).distinct()
+        a, b = vals.alias("a"), vals.alias("b")
+        cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in lhs]
+        pairs = a.join(b, cond, "inner").filter(
+            F.col("a.point") != F.col("b.point")
+        )
+        d = F.levenshtein(F.col("a.point"), F.col("b.point")).cast("double")
+        # per point: furthest other point (max distance; ties → min value,
+        # deterministic where the reference keeps first-scanned index)
+        per_pair = pairs.select(
+            *[F.col(f"a.{c}").alias(c) for c in lhs],
+            F.col("a.point").alias("point"),
+            F.col("b.point").alias("other"),
+            d.alias("dist"),
+        )
+        wpt = Window.partitionBy(*lhs, "point")
+        per_pt = (
+            per_pair.withColumn("max_distance", F.max("dist").over(wpt))
+            .filter(F.col("dist") == F.col("max_distance"))
+            .groupBy(*lhs, "point", "max_distance")
+            .agg(F.min("other").alias("furthest_point"))
+            .select(*lhs, "point", "furthest_point", "max_distance")
+        )
+        w_diam = Window.partitionBy(*lhs)
+        out = (
+            per_pt.withColumn("_diam", F.max("max_distance").over(w_diam))
+            .filter(F.col("_diam") > parameter)
+            .drop("_diam")
+        )
+    else:
+        raise ValueError(
+            f"mfd_highlights: metric {metric!r} not supported (use "
+            "mfd_cluster_diameters for the verdict path)"
+        )
+    wcap = Window.partitionBy(*lhs).orderBy(
+        F.col("max_distance").desc(), F.col("point").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= evidence_cap)
+        .drop("_rn")
+        .withColumn("exceeds", (F.col("max_distance") > parameter).cast("int"))
+    )
 
 
 def mfd_verify(

@@ -11,22 +11,30 @@ over an ``array<float>`` embedding column.
   final per-query top-k (tiny after a per-partition pre-top-k; Spark's
   window + filter does the global cut).
 - **Random-hyperplane LSH buckets** — the scale path: ``planes`` sign bits
-  from deterministic pseudo-random hyperplanes (components derived from
-  ``xxhash64(plane, dim)`` — no stored model, same buckets on any cluster).
-  Neighbor candidates come only from the query's bucket (plus optional
-  multi-probe by flipping one bit), then exact cosine re-scoring. Recall is
-  tunable via planes/probes; the candidate join is a hash join on bucket id.
+  from deterministic pseudo-random hyperplanes. Plane components derive from
+  ``md5("pl<seed>:<plane>:<dim>")`` (the project's cross-engine hash
+  convention, CLAUDE.md) computed once on the driver and inlined as literal
+  arrays — no stored model, same buckets on any cluster, and the same plane
+  values are reproducible in plain SQL (DuckDB oracle parity). Neighbor
+  candidates come only from the query's bucket (plus optional multi-probe by
+  flipping one bit), then exact cosine re-scoring. Recall is tunable via
+  planes/probes; the candidate join is a hash join on bucket id.
 - **Embedding near-dup pairs** — all corpus pairs in the same bucket with
   cosine ≥ threshold (the embedding-cosine dedup entry of the suite).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from desbordante_spark.operators.caps import report_dropped as _report_dropped
+
 __all__ = [
     "cosine_topk_bruteforce",
+    "plane_components",
     "lsh_bucket",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
@@ -87,24 +95,48 @@ def cosine_topk_bruteforce(
     )
 
 
+def plane_components(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane components in [−1, 1]: component ``i`` of
+    plane ``p`` is ``(int(md5("pl<seed>:<p>:<i>")[:8], 16) % 2001 − 1000) /
+    1000``. Pure Python, tiny (planes × dim floats) — inlined as literals so
+    both Spark and any SQL oracle reproduce the exact same buckets."""
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"pl{seed}:{p}:{i}".encode()).hexdigest()[:8], 16
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from {vec_col!r}")
+    return int(row["d"])
+
+
 def lsh_bucket(
     vec_col: str = "embedding",
     planes: int = 8,
     seed: int = 42,
+    dim: int = 64,
 ) -> F.Column:
-    """Random-hyperplane bucket id (int column expression). Plane ``p``'s
-    component ``i`` is ``(xxhash64(p, i, seed) % 2001 − 1000) / 1000`` —
-    deterministic, computed inline, never materialized."""
+    """Random-hyperplane bucket id (int column expression): bit ``p`` set iff
+    ``dot(v, plane_p) > 0``. Planes are literal arrays (``plane_components``)
+    — the dot product runs entirely in whole-stage codegen, zero hashing per
+    row."""
     v = F.col(vec_col)
     bucket = F.lit(0)
-    for p in range(planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: (
-                F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
-        )
+    for p, comps in enumerate(plane_components(planes, dim, seed)):
+        plane = F.array(*[F.lit(x) for x in comps])
         s = _dot(v, plane)
         bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket.cast("int")
@@ -121,14 +153,18 @@ def cosine_topk_lsh(
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates from the query's hyperplane bucket (plus, with
     ``multiprobe``, all buckets at Hamming distance 1), exact cosine
-    re-scoring. Same output schema as the brute-force path."""
+    re-scoring. Same output schema as the brute-force path. ``dim`` is probed
+    from the corpus when not given (one ``first()`` on the driver)."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     qb = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(vec_col, planes, seed).alias("b"),
+        lsh_bucket(vec_col, planes, seed, dim).alias("b"),
     )
     if multiprobe:
         probes = F.array(
@@ -143,7 +179,7 @@ def cosine_topk_lsh(
     cb = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(vec_col, planes, seed).alias("bucket"),
+        lsh_bucket(vec_col, planes, seed, dim).alias("bucket"),
     ).withColumn("cn", _norm(F.col("cv")))
     j = F.broadcast(qb).join(cb, "bucket")
     if exclude_self:
@@ -172,16 +208,24 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     seed: int = 42,
     max_bucket: int = 1000,
+    dim: int | None = None,
+    dropped_report: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates ``(id_a, id_b, cosine)``: candidates
     within an LSH bucket, exact cosine ≥ threshold. Oversized buckets are
-    dropped (cap policy, same as MinHash-LSH)."""
+    dropped — capped AND flagged: pass ``dropped_report={}`` to receive
+    ``{"n_buckets_dropped": int, "n_ids_in_dropped": int}`` (one tiny extra
+    aggregate over the bucket-size frame; a warning is logged when > 0)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes, seed).alias("bucket"),
+        lsh_bucket(vec_col, planes, seed, dim).alias("bucket"),
     ).withColumn("n", _norm(F.col("v")))
     sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    _report_dropped(sizes, "bsz", max_bucket, dropped_report,
+                    "embedding_near_dup_pairs")
     base = base.join(
         F.broadcast(sizes.filter(F.col("bsz") <= max_bucket)), "bucket"
     )

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 __all__ = [
     "profile",
     "word_stats",
+    "words_set",
     "top_k_words",
     "top_k_chars",
     "char_vocab",
@@ -151,6 +152,18 @@ def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
             if is_str
             else F.lit(None).cast("long")
         ).alias("num_digit_chars"),
+        # uppercase/lowercase char counts (data_stats.h:142-144; the
+        # reference's std::isupper/islower are ASCII — same class here)
+        (
+            F.sum(F.length(F.regexp_replace(vv, r"[^A-Z]", "")).cast("long"))
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_uppercase_chars"),
+        (
+            F.sum(F.length(F.regexp_replace(vv, r"[^a-z]", "")).cast("long"))
+            if is_str
+            else F.lit(None).cast("long")
+        ).alias("num_lowercase_chars"),
     ]
     return F.struct(*fields)
 
@@ -235,6 +248,13 @@ def word_stats(df: DataFrame, column: str) -> DataFrame:
         F.count_distinct("word").cast("long").alias("distinct_words"),
         F.count("word").cast("long").alias("total_words"),
     )
+
+
+def words_set(df: DataFrame, column: str) -> DataFrame:
+    """All distinct words of the column, one per row (``GetWords``,
+    data_stats.h:149-150 — a std::set there; here a distinct DataFrame, the
+    scale-safe representation). Sorted for determinism."""
+    return _exploded_words(df, column).distinct().orderBy("word")
 
 
 def _exploded_words(df: DataFrame, column: str) -> DataFrame:

@@ -102,6 +102,12 @@ def streaming_first_seen_dedup(
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
+        # timeout invocation (no live input): free the key's state and emit
+        # nothing — re-registering here would both leak state forever and
+        # push a phantom duplicate record to the sink
+        if state.hasTimedOut:
+            state.remove()
+            return
         n = 0
         for pdf in pdfs:
             n += len(pdf)
