@@ -426,6 +426,17 @@ def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ucc_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyUCC-equivalent levelwise miner (discovery/tane.py) — all minimal
+    # unique column combinations up to 2 columns
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    uccs = discover_uccs(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_size=2
+    )
+    return spark.createDataFrame([(",".join(u),) for u in uccs], "ucc string")
+
+
 def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.discovery.spider import discover_unary_inds
 
@@ -552,6 +563,43 @@ def _q_od_violations_lineitem_2col(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_gfd_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GFD over the orders–customer bipartite graph: pattern
+    # (order)-[placed_by]-(customer); premise o.status='F' ⇒ conclusion
+    # c.mktsegment='BUILDING' (false — yields a real violation count)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.gfd import gfd_metrics_df
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    vertices = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("vertex_id"),
+        F.lit("customer").alias("label"),
+        F.col("c_mktsegment"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    ).unionByName(
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("vertex_id"),
+            F.lit("order").alias("label"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.col("o_orderstatus"),
+        )
+    )
+    edges = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        F.lit("placed_by").alias("label"),
+    )
+    return gfd_metrics_df(
+        vertices, edges,
+        {"o": "order", "c": "customer"},
+        [("o", "c", "placed_by")],
+        premises=[(("o", "o_orderstatus"), "F")],
+        conclusion=[(("c", "c_mktsegment"), "BUILDING")],
+    )
+
+
 def _q_mfd_highlights_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.mfd import mfd_highlights
 
@@ -591,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_pair_rules_events": _q_ar_pair_rules_events,
         "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
         "fd_discovery_orders": _q_fd_discovery_orders,
+        "ucc_discovery_orders": _q_ucc_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
         "ind_discovery_nary": _q_ind_discovery_nary,
         "dd_violations_supplier": _q_dd_violations_supplier,
@@ -601,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cfd_tableau_orders": _q_cfd_tableau_orders,
         "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
         "mfd_highlights_orders": _q_mfd_highlights_orders,
+        "gfd_order_customer": _q_gfd_order_customer,
     }
 
 
@@ -768,6 +818,32 @@ def _ind_discovery_oracle() -> str:
         "   <= 0.0 THEN 1 ELSE 0 END AS INT) AS holds"
         " FROM p WHERE 1.0 - CAST(overlap AS DOUBLE) / CAST(lhs_distinct AS DOUBLE)"
         "   <= 0.0"
+    )
+
+
+def _ucc_minimal_oracle() -> str:
+    """Closed-form SQL for discover_uccs(orders, max_size=2): minimal keys —
+    singletons with d(c) = n, pairs with d(x,y) = n whose members aren't
+    keys themselves."""
+    from itertools import combinations
+
+    cols = sorted(_ORDERS_COLS)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+    for x, y in combinations(cols, 2):
+        aggs.append(f"count(DISTINCT ({x}, {y})) AS d_{x}__{y}")
+    selects = [
+        f"SELECT '{c}' AS ucc FROM m WHERE d_{c} = n" for c in cols
+    ]
+    for x, y in combinations(cols, 2):
+        selects.append(
+            f"SELECT '{x},{y}' AS ucc FROM m"
+            f" WHERE d_{x}__{y} = n AND d_{x} < n AND d_{y} < n"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(selects)
     )
 
 
@@ -1327,6 +1403,7 @@ SELECT total_rows, num_clusters,
 FROM m
 """,
         "fd_discovery_orders": _fd_minimal_oracle(),
+        "ucc_discovery_orders": _ucc_minimal_oracle(),
         "ind_discovery_tpch": _ind_discovery_oracle(),
         "ind_discovery_nary": _nary_ind_oracle(),
         "span_invariant_violations": _span_invariant_oracle(),
@@ -1354,6 +1431,24 @@ w AS (
   FROM g)
 SELECT l_orderkey, l_linenumber, l_quantity, group_size, min_rhs, prev_max_rhs
 FROM w WHERE prev_max_rhs > min_rhs
+""",
+        "gfd_order_customer": """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_matches,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS premise_matches,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                            AND (c_mktsegment IS NULL
+                                 OR c_mktsegment <> 'BUILDING')
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS num_violations
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT total_matches, premise_matches, num_violations,
+       CASE WHEN premise_matches > 0
+            THEN CAST(num_violations AS DOUBLE)
+                 / CAST(premise_matches AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN num_violations = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
 """,
         "mfd_highlights_orders": """
 WITH env AS (SELECT o_custkey, min(o_totalprice) AS lo, max(o_totalprice) AS hi
