@@ -78,10 +78,16 @@ def cfd_tableau_metrics_df(
     tableau = list(tableau)
     if not tableau:
         raise ValueError("empty tableau")
+    # coarse disjunction first: a plain OR-of-equalities predicate is
+    # pushable into the scan (explode/array filters are not), so rows
+    # matching no pattern never leave the parquet reader
+    any_pattern = F.lit(False)
+    for p in tableau:
+        any_pattern = any_pattern | _pattern_cond(p)
     tags = F.array(
         *[F.when(_pattern_cond(p), F.lit(i)) for i, p in enumerate(tableau)]
     )
-    tagged = df.withColumn(
+    tagged = df.filter(any_pattern).withColumn(
         "pattern_id", F.explode(F.filter(tags, lambda x: x.isNotNull()))
     )
     m = fd_metrics_df(tagged, lhs, rhs, error_threshold, by=["pattern_id"])

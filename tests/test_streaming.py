@@ -104,3 +104,55 @@ def test_streaming_first_seen_dedup(spark, stream_env):
     assert rows["a"]["first_seen"] == 1 and rows["a"]["dup_count"] == 2
     assert rows["b"]["first_seen"] == 1 and rows["b"]["dup_count"] == 0
     assert rows["c"]["dup_count"] == 0
+
+
+def test_streaming_first_seen_timeout_frees_state(spark, tmp_path):
+    # three micro-batches (one file each): key "old" must time out once the
+    # watermark passes its timeout — and the timeout invocation must emit
+    # NOTHING (pre-fix it emitted a phantom duplicate row and re-registered
+    # state forever)
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_first_seen_dedup,
+    )
+
+    src = tmp_path / "tm"
+    src.mkdir()
+    batches = [
+        [{"doc_id": "old", "ts": "2026-01-01T00:00:00", "v": 1.0}],
+        [{"doc_id": "new1", "ts": "2026-01-01T03:00:00", "v": 2.0}],
+        [{"doc_id": "new2", "ts": "2026-01-01T06:00:00", "v": 3.0}],
+    ]
+    import os
+
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # the file source orders batches by modification time — pin strictly
+        # increasing mtimes so batch order (and thus watermark advancement)
+        # is deterministic
+        os.utime(p, (1000000000 + i * 1000, 1000000000 + i * 1000))
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_first_seen_dedup(stream, "doc_id", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_tm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM first_seen_tm").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["doc_id"], []).append(r)
+    # exactly ONE row per key — no phantom emission from the timeout path
+    assert {k: len(v) for k, v in per_key.items()} == {
+        "old": 1, "new1": 1, "new2": 1
+    }
+    assert per_key["old"][0]["first_seen"] == 1
