@@ -135,27 +135,19 @@ def discover_nary_inds(
         by_tables: dict[tuple[str, str], list[tuple[tuple[str, str], ...]]] = {}
         for lt, rt, pairs in valid:
             by_tables.setdefault((lt, rt), []).append(pairs)
-        # pool of valid unary pairs per table pair (projections of any valid
-        # IND are valid, so the unary pool is derivable from level-1 results)
+        # pool of aligned (lhs_col, rhs_col) pairs per table pair —
+        # projections of any valid IND are themselves valid INDs
         unary_pool: dict[tuple[str, str], set[tuple[str, str]]] = {}
-        for lt, rt, pairs in valid if arity == 1 else []:
-            unary_pool.setdefault((lt, rt), set()).add(pairs[0])
-        if arity > 1:
-            for (lt, rt), plist in by_tables.items():
-                for pairs in plist:
-                    unary_pool.setdefault((lt, rt), set()).update(pairs)
-        nxt = []
-        seen = set()
+        for lt, rt, pairs in valid:
+            unary_pool.setdefault((lt, rt), set()).update(pairs)
         prev = {(lt, rt): set(map(frozenset, plist))
                 for (lt, rt), plist in by_tables.items()}
+        nxt = []
         for (lt, rt), pool in unary_pool.items():
             for combo in combinations(sorted(pool), arity + 1):
                 lcols = tuple(p[0] for p in combo)
                 rcols = tuple(p[1] for p in combo)
                 if len(set(lcols)) < len(lcols) or len(set(rcols)) < len(rcols):
-                    continue
-                key = (lt, rt, combo)
-                if key in seen:
                     continue
                 # downward closure: every arity-k projection must be valid
                 if any(
@@ -163,7 +155,6 @@ def discover_nary_inds(
                     for sub in combinations(combo, arity)
                 ):
                     continue
-                seen.add(key)
                 nxt.append((lt, lcols, rt, rcols))
         cands = nxt
 
