@@ -426,6 +426,38 @@ def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AFD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+_OD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def _q_afd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PFDTane-style levelwise AFD miner (per_tuple error, one batched job
+    # per level)
+    from desbordante_spark.discovery.pfdtane import discover_afds
+
+    afds = discover_afds(
+        _read(spark, sf_dir, "orders").select(*_AFD_COLS),
+        max_lhs=2, max_error=0.3, error_measure="per_tuple",
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs, err) for lhs, rhs, err in afds],
+        "lhs string, rhs string, error double",
+    )
+
+
+def _q_od_discovery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all ascending A -> B order dependencies among three lineitem measures
+    # per order (one batched job for every candidate)
+    from desbordante_spark.discovery.order import discover_ods
+
+    return discover_ods(
+        _read(spark, sf_dir, "lineitem"),
+        columns=_OD_COLS,
+        context=["l_orderkey"],
+        directions=("asc",),
+    )
+
+
 def _q_ucc_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyUCC-equivalent levelwise miner (discovery/tane.py) — all minimal
     # unique column combinations up to 2 columns
@@ -639,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_pair_rules_events": _q_ar_pair_rules_events,
         "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
         "fd_discovery_orders": _q_fd_discovery_orders,
+        "afd_discovery_orders": _q_afd_discovery_orders,
+        "od_discovery_lineitem": _q_od_discovery_lineitem,
         "ucc_discovery_orders": _q_ucc_discovery_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
         "ind_discovery_nary": _q_ind_discovery_nary,
@@ -819,6 +853,109 @@ def _ind_discovery_oracle() -> str:
         " FROM p WHERE 1.0 - CAST(overlap AS DOUBLE) / CAST(lhs_distinct AS DOUBLE)"
         "   <= 0.0"
     )
+
+
+def _afd_discovery_oracle(max_error: float = 0.3) -> str:
+    """Closed-form SQL for discover_afds(orders[_AFD_COLS], max_lhs=2,
+    per_tuple): per candidate X → A the error is 1 − Σ_clusters max_cnt / n;
+    minimality via scalar subqueries on the subset candidates' errors
+    (per_tuple is monotone in X, so any qualifying subset prunes)."""
+    from itertools import combinations
+
+    cols = sorted(_AFD_COLS)
+    ctes = []
+    names: dict[tuple[tuple[str, ...], str], str] = {}
+    idx = 0
+
+    def cte_for(lhs: tuple[str, ...], a: str) -> str:
+        nonlocal idx
+        key = (lhs, a)
+        if key in names:
+            return names[key]
+        name = f"e{idx}"
+        idx += 1
+        names[key] = name
+        gb = ", ".join([*lhs, a])
+        lhs_gb = ", ".join(lhs) if lhs else None
+        inner = (
+            f"SELECT {gb}, count(*) AS cnt FROM orders GROUP BY {gb}"
+        )
+        mid = (
+            f"SELECT sum(cnt) AS sz, max(cnt) AS keep FROM ({inner})"
+            + (f" GROUP BY {lhs_gb}" if lhs_gb else "")
+        )
+        ctes.append(
+            f"{name} AS (SELECT 1.0 - CAST(sum(keep) AS DOUBLE)"
+            f" / CAST(sum(sz) AS DOUBLE) AS err FROM ({mid}))"
+        )
+        return name
+
+    branches = []
+    for a in cols:  # level 0: () -> a
+        n0 = cte_for((), a)
+        branches.append(
+            f"SELECT '' AS lhs, '{a}' AS rhs, err AS error FROM {n0}"
+            f" WHERE err <= {max_error!r}e0"
+        )
+    for x in cols:  # level 1
+        for a in cols:
+            if a == x:
+                continue
+            n1 = cte_for((x,), a)
+            n0 = cte_for((), a)
+            branches.append(
+                f"SELECT '{x}' AS lhs, '{a}' AS rhs, err AS error FROM {n1}"
+                f" WHERE err <= {max_error!r}e0"
+                f" AND (SELECT err FROM {n0}) > {max_error!r}e0"
+            )
+    for x, y in combinations(cols, 2):  # level 2
+        for a in cols:
+            if a in (x, y):
+                continue
+            n2 = cte_for((x, y), a)
+            guards = [
+                f"(SELECT err FROM {cte_for((), a)}) > {max_error!r}e0",
+                f"(SELECT err FROM {cte_for((x,), a)}) > {max_error!r}e0",
+                f"(SELECT err FROM {cte_for((y,), a)}) > {max_error!r}e0",
+            ]
+            branches.append(
+                f"SELECT '{x},{y}' AS lhs, '{a}' AS rhs, err AS error"
+                f" FROM {n2} WHERE err <= {max_error!r}e0 AND "
+                + " AND ".join(guards)
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(branches)
+
+
+def _od_discovery_oracle(max_swap: int = 0) -> str:
+    """Closed-form SQL for discover_ods(lineitem[_OD_COLS], context
+    l_orderkey, asc): per ordered pair the same grouped-window swap check as
+    the od_violations oracle, aggregated to candidate verdicts."""
+    branches = []
+    for a in _OD_COLS:
+        for b in _OD_COLS:
+            if a == b:
+                continue
+            branches.append(f"""
+SELECT '{a}' AS lhs, '{b}' AS rhs, 'asc' AS direction,
+       CAST(coalesce(sum(CASE WHEN pm > min_bv THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS num_swap_groups,
+       CAST(count(*) AS BIGINT) AS total_groups,
+       CAST(CASE WHEN coalesce(sum(CASE WHEN pm > min_bv THEN 1 ELSE 0 END),
+                 0) <= {max_swap} THEN 1 ELSE 0 END AS INT) AS holds
+FROM (
+  WITH g AS (
+    SELECT l_orderkey, CAST({a} AS DOUBLE) AS av,
+           min(CAST({b} AS DOUBLE)) AS min_bv,
+           max(CAST({b} AS DOUBLE)) AS max_bv
+    FROM lineitem
+    WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+    GROUP BY l_orderkey, CAST({a} AS DOUBLE))
+  SELECT *, max(max_bv) OVER (PARTITION BY l_orderkey ORDER BY av ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+  FROM g)
+""")
+    return " UNION ALL ".join(branches)
 
 
 def _ucc_minimal_oracle() -> str:
@@ -1403,6 +1540,8 @@ SELECT total_rows, num_clusters,
 FROM m
 """,
         "fd_discovery_orders": _fd_minimal_oracle(),
+        "afd_discovery_orders": _afd_discovery_oracle(0.3),
+        "od_discovery_lineitem": _od_discovery_oracle(0),
         "ucc_discovery_orders": _ucc_minimal_oracle(),
         "ind_discovery_tpch": _ind_discovery_oracle(),
         "ind_discovery_nary": _nary_ind_oracle(),

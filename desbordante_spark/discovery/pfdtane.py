@@ -1,0 +1,141 @@
+"""AFD discovery — PFDTane-style levelwise search with per_tuple/per_value
+error measures.
+
+Reference: PFDTane mines probabilistic FDs levelwise, scoring each candidate
+X → A with an error measure over the X-partition
+(/root/reference/src/core/algorithms/fd/pfdtane/, enums.h:6 — per_tuple =
+changed-row fraction, per_value = average per-cluster violation mass) and
+keeping minimal candidates under the threshold.
+
+Spark-first: ALL candidates of a level are scored in ONE job. Each row
+explodes to ``(candidate_id, lhs_key, rhs_value)`` tuples (row-local array —
+the levelwise Expand price, same as TANE), then a single three-level
+aggregation — (cid, key, value) counts → per-cluster size + max-value count
+→ per-candidate error — scores every candidate simultaneously. Minimality
+(a qualifying subset prunes supersets for the same RHS) and the trivial
+∅ → A level are handled by the driver's candidate bookkeeping, which never
+touches data.
+
+Both measures are monotone non-increasing in the LHS (finer partitions keep
+at least as many rows), so subset-pruning is exact, mirroring the
+reference's lattice pruning.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["discover_afds"]
+
+_SEP = "\x01"
+_NULL = "\x00∅"
+
+
+def _score_level(
+    df: DataFrame,
+    cands: list[tuple[tuple[str, ...], str]],
+    error_measure: str,
+) -> dict[int, float]:
+    """One job: per candidate (lhs_set, rhs) → error."""
+    structs = []
+    for i, (lhs, rhs) in enumerate(cands):
+        key = (
+            F.concat_ws(
+                _SEP,
+                *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                  for c in lhs],
+            )
+            if lhs
+            else F.lit("")
+        )
+        structs.append(
+            F.struct(
+                F.lit(i).alias("cid"),
+                key.alias("xk"),
+                F.coalesce(F.col(rhs).cast("string"), F.lit(_NULL)).alias("av"),
+            )
+        )
+    exploded = df.select(F.explode(F.array(*structs)).alias("c")).select(
+        "c.cid", "c.xk", "c.av"
+    )
+    lvl1 = exploded.groupBy("cid", "xk", "av").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lvl2 = lvl1.groupBy("cid", "xk").agg(
+        F.sum("cnt").alias("sz"), F.max("cnt").alias("keep")
+    )
+    agg = lvl2.groupBy("cid").agg(
+        F.sum("sz").alias("n"),
+        F.sum("keep").alias("keep"),
+        F.count(F.lit(1)).alias("nclusters"),
+        F.sum(F.col("keep").cast("double") / F.col("sz").cast("double"))
+        .alias("keep_frac"),
+    )
+    if error_measure == "per_tuple":
+        err = F.when(
+            F.col("n") > 0,
+            1.0 - F.col("keep").cast("double") / F.col("n").cast("double"),
+        ).otherwise(F.lit(0.0))
+    else:
+        err = F.when(
+            F.col("nclusters") > 0,
+            1.0 - F.col("keep_frac") / F.col("nclusters").cast("double"),
+        ).otherwise(F.lit(0.0))
+    rows = agg.select("cid", err.alias("err")).collect()
+    return {int(r["cid"]): float(r["err"]) for r in rows}
+
+
+def discover_afds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_lhs: int = 2,
+    max_error: float = 0.05,
+    error_measure: str = "per_tuple",
+) -> list[tuple[tuple[str, ...], str, float]]:
+    """All minimal AFDs ``X -> A`` with error ≤ ``max_error`` and
+    ``|X| <= max_lhs``. Returns sorted ``[(lhs_tuple, rhs, error), ...]``;
+    near-constant columns yield ``() -> A`` (the trivial one-cluster case).
+    """
+    if error_measure not in ("per_tuple", "per_value"):
+        raise ValueError(f"unknown error_measure {error_measure!r}")
+    cols = sorted(columns or df.columns)
+    afds: list[tuple[tuple[str, ...], str, float]] = []
+    found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
+
+    # level 0: ∅ -> A (single cluster; error = non-modal fraction)
+    lvl0 = [((), a) for a in cols]
+    scores = _score_level(df, lvl0, error_measure)
+    for i, ((_, a)) in enumerate(lvl0):
+        if scores[i] <= max_error:
+            afds.append(((), a, scores[i]))
+            found[a].append(())
+
+    level_sets: list[tuple[str, ...]] = [(c,) for c in cols]
+    for level in range(1, max_lhs + 1):
+        cands = []
+        for s in level_sets:
+            if len(s) != level:
+                continue
+            for a in cols:
+                if a in s:
+                    continue
+                if any(set(prev) <= set(s) for prev in found[a]):
+                    continue  # minimality: a subset already qualifies
+                cands.append((s, a))
+        if not cands:
+            break
+        scores = _score_level(df, cands, error_measure)
+        for i, (s, a) in enumerate(cands):
+            if scores[i] <= max_error:
+                afds.append((s, a, scores[i]))
+                found[a].append(s)
+        nxt = set()
+        for s in level_sets:
+            for c in cols:
+                if c > s[-1]:
+                    nxt.add(tuple(sorted({*s, c})))
+        level_sets = sorted(nxt)
+    return sorted(afds)

@@ -303,3 +303,68 @@ def test_drift_discrete_string_buckets_ansi(spark):
     sk = histogram_sketch(df, "animal", "part", discrete=True)
     out = drift_metrics(sk, ks_threshold=0.9).collect()  # must not raise
     assert {r["partition"] for r in out} == {"p1", "p2"}
+
+
+# ------------------------------------------- OD + AFD discovery (round 2)
+
+def test_discover_ods(spark):
+    rows = [
+        (1, 1, 10.0, 100.0), (1, 2, 20.0, 90.0), (1, 3, 30.0, 80.0),
+        (2, 1, 5.0, 50.0), (2, 2, 6.0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "ctx int, a int, b double, c double")
+    from desbordante_spark.discovery.order import discover_ods
+
+    out = {
+        (r["lhs"], r["rhs"], r["direction"]): r["holds"]
+        for r in discover_ods(df, ["a", "b", "c"], context=["ctx"]).collect()
+    }
+    assert out[("a", "b", "asc")] == 1   # b increases with a
+    assert out[("a", "c", "asc")] == 0   # c decreases with a
+    assert out[("a", "c", "desc")] == 1
+    assert out[("b", "a", "asc")] == 1   # inverse also swap-free
+    assert out[("c", "b", "desc")] == 1
+    assert len(out) == 12  # 3 cols × 2 others × 2 directions
+
+
+def test_discover_ods_swap_counts(spark):
+    rows = [(1, 1, 2.0), (1, 2, 1.0), (1, 3, 3.0), (2, 1, 1.0), (2, 2, 2.0)]
+    df = spark.createDataFrame(rows, "ctx int, a int, b double")
+    from desbordante_spark.discovery.order import discover_ods
+
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in discover_ods(df, ["a", "b"], context=["ctx"],
+                              directions=("asc",)).collect()
+    }
+    r = out[("a", "b")]
+    assert r["holds"] == 0 and r["num_swap_groups"] == 1  # a=2 in ctx 1
+    assert r["total_groups"] == 5
+
+
+def test_discover_afds(spark):
+    # y is determined by x except one dirty row out of 10 (error 0.1);
+    # z is near-constant (9/10 same value)
+    rows = [(i, i % 3, "v" if i % 3 != 0 else "w", "k" if i else "q")
+            for i in range(9)]
+    rows.append((9, 0, "v", "k"))  # dirty: x=0 usually "w", here "v"
+    df = spark.createDataFrame(rows, "rid int, x int, y string, z string")
+    from desbordante_spark.discovery.pfdtane import discover_afds
+
+    afds = discover_afds(df, ["rid", "x", "y", "z"], max_lhs=1,
+                         max_error=0.15)
+    got = {(lhs, rhs): err for lhs, rhs, err in afds}
+    # z: 9/10 "k" → () -> z qualifies at error 0.1
+    assert got[((), "z")] == pytest.approx(0.1)
+    # x -> y: one dirty row in the x=0 cluster → per_tuple error 0.1
+    assert got[(("x",), "y")] == pytest.approx(0.1)
+    # minimality: () -> y has error 0.4 (6/10 "v") so x -> y is minimal;
+    # no lhs qualifies for x (all clusters tiny? x has 3 values over 10 rows)
+    assert ((), "y") not in got
+    # rid is a key: rid -> everything qualifies with error 0
+    assert got[(("rid",), "y")] == 0.0
+    # monotone pruning: nothing reported with a qualifying subset
+    for (lhs, rhs) in got:
+        for (lhs2, rhs2) in got:
+            if rhs == rhs2 and lhs != lhs2:
+                assert not set(lhs2) < set(lhs)
