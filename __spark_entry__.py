@@ -595,6 +595,45 @@ def _q_od_violations_lineitem_2col(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_dynamic_fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental (batch-CRUD) FD verify: init on a base slice, apply an
+    # insert batch + a delete batch, read the verdict from the state — must
+    # equal the batch verdict over the equivalent final set (the oracle
+    # computes that set directly in SQL)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.dynamic import (
+        fd_metrics_from_state,
+        fd_state_init,
+        state_apply,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    base = orders.filter(okey % 3 != 0)
+    inserts = orders.filter((okey % 3 == 0) & (okey % 2 == 0))
+    deletes = base.filter(okey % 5 == 0)
+    lhs, rhs = ["o_custkey"], ["o_orderpriority"]
+    st = fd_state_init(base, lhs, rhs)
+    st = state_apply(st, [*lhs, *rhs], inserts=inserts, deletes=deletes)
+    return fd_metrics_from_state(st, lhs)
+
+
+def _q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.functions.text import quality_score
+
+    q = quality_score(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return q.select(
+        F.col("id").alias("doc_id"),
+        "n_chars",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len_r"),
+        "quality",
+    )
+
+
 def _q_gfd_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GFD over the orders–customer bipartite graph: pattern
     # (order)-[placed_by]-(customer); premise o.status='F' ⇒ conclusion
@@ -685,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
         "mfd_highlights_orders": _q_mfd_highlights_orders,
         "gfd_order_customer": _q_gfd_order_customer,
+        "dynamic_fd_orders": _q_dynamic_fd_orders,
+        "quality_score_documents": _q_quality_score_documents,
     }
 
 
@@ -1326,6 +1367,46 @@ SELECT 'l_extendedprice',
        CAST(1 AS INT), CAST(3 AS INT),
        round(avg(l_extendedprice), 6)
 FROM lineitem
+""",
+        "dynamic_fd_orders": _FD_METRICS_SQL.format(
+            lhs="o_custkey", rhs="o_orderpriority",
+            table=(
+                "(SELECT * FROM orders WHERE (o_orderkey % 3 <> 0 AND "
+                "o_orderkey % 5 <> 0) OR (o_orderkey % 3 = 0 AND "
+                "o_orderkey % 2 = 0)) dyn"
+            ),
+            holds_cond="num_violating_clusters = 0",
+        ),
+        "quality_score_documents": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                  length(text) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+f AS (SELECT doc_id,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, w -> length(w)))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0e0 END AS mwl,
+        CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE)
+             ELSE 1.0e0 END AS nz,
+        CAST(length(regexp_replace(text, '[^\\.,;:!\\?''"()\\[\\]-]', '', 'g'))
+             AS DOUBLE) AS n_punct,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          AS n_digit,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          AS n_alpha,
+        CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+          AS n_upper
+      FROM t)
+SELECT doc_id, n_chars, n_tokens, round(mwl, 6) AS mean_word_len_r,
+       round(0.4e0 * least(CAST(n_tokens AS DOUBLE) / 20.0e0, 1.0e0)
+             + 0.4e0 * (n_alpha / nz)
+             + 0.2e0 * (1.0e0 - (least(n_digit / nz * 4.0e0, 1.0e0)
+                                 + least(n_punct / nz * 4.0e0, 1.0e0)
+                                 + least(n_upper / nz * 2.0e0, 1.0e0))
+                        / 3.0e0), 6) AS quality
+FROM f
 """,
         "word_stats_documents": """
 WITH w AS (

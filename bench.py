@@ -187,16 +187,27 @@ def main() -> None:
         "l_returnflag"
     ).count().collect()
 
+    # headline queries: same warmup + min-of-k discipline as the doc suite —
+    # single-shot timings on this host measure stall luck, not the plan
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     timings: dict[str, float] = {}
-    t_total = time.monotonic()
     for name in HEADLINE:
-        t = time.monotonic()
-        _force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t, 3)
+        if warmup:
+            _force(qs[name](spark, SF_DIR))
+        best = float("inf")
+        for _ in range(max(1, reps)):
+            t = time.monotonic()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.monotonic() - t)
+        timings[name] = round(best, 3)
 
+    headline_sec = sum(timings.values())
     suite_sec, doc_timings = bench_doc_suite(spark, N_BENCH_DOCS)
     timings.update({k: round(v, 3) for k, v in doc_timings.items()})
-    total = round(time.monotonic() - t_total, 3)
+    # value = steady-state suite time (sum of per-query min-of-k), NOT the
+    # harness wall (which now includes warmup passes)
+    total = round(headline_sec + suite_sec, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
