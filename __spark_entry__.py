@@ -516,6 +516,22 @@ def _q_ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-flat ANN: deterministic md5-sampled coarse quantizer, nprobe
+    # nearest inverted lists, exact re-scoring
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    res = cosine_topk_ivf(q, emb, "vec_id", "vec_id", k=3,
+                          n_centroids=16, nprobe=4)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -718,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_violations_supplier": _q_dd_violations_supplier,
         "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ann_topk_lsh_embeddings": _q_ann_topk_lsh_embeddings,
+        "ann_topk_ivf_embeddings": _q_ann_topk_ivf_embeddings,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "cfd_tableau_orders": _q_cfd_tableau_orders,
@@ -1104,6 +1121,50 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cosine, 6) AS cosine_r
 FROM p WHERE cosine >= {threshold!r}e0
+"""
+
+
+def _ivf_oracle(k: int = 3, n_centroids: int = 16, nprobe: int = 4,
+                dim: int = 64) -> str:
+    nrm = _fold_dot("embedding", "embedding", dim)
+    cos_ec = (
+        _fold_dot("e.embedding", "cents.cvec", dim)
+        + " / (CASE WHEN e.nrm * cents.cnrm > 0 THEN e.nrm * cents.cnrm"
+        " ELSE 1.0 END)"
+    )
+    cos_ab = _fold_dot("a.embedding", "b.embedding", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings),
+co AS (SELECT vec_id, embedding, nrm,
+              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                AS rn
+       FROM e),
+cents AS (SELECT CAST(rn - 1 AS INT) AS centroid_id, embedding AS cvec,
+                 nrm AS cnrm
+          FROM co WHERE rn <= {n_centroids}),
+scored AS (SELECT e.vec_id, cents.centroid_id, {cos_ec} AS cos
+           FROM e CROSS JOIN cents),
+ranked AS (SELECT vec_id, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, centroid_id ASC) AS rn
+           FROM scored),
+cb AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+       WHERE vec_id < 10 AND rn <= {nprobe}),
+cand AS (SELECT qp.query_id, cb.vec_id AS neighbor_id
+         FROM qp JOIN cb ON cb.centroid_id = qp.centroid_id
+         WHERE cb.vec_id <> qp.query_id),
+sc AS (SELECT cand.query_id, cand.neighbor_id,
+              {cos_ab}
+              / (CASE WHEN a.nrm * b.nrm > 0 THEN a.nrm * b.nrm
+                      ELSE 1.0 END) AS cosine
+       FROM cand JOIN e a ON a.vec_id = cand.query_id
+                 JOIN e b ON b.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cosine_r, rank FROM r WHERE rank <= {k}
 """
 
 
@@ -1629,6 +1690,7 @@ FROM m
         "span_invariant_violations": _span_invariant_oracle(),
         "referential_media_catalog": _referential_staged_oracle(),
         "ann_topk_lsh_embeddings": _ann_lsh_oracle(planes=6, k=3),
+        "ann_topk_ivf_embeddings": _ivf_oracle(k=3, n_centroids=16, nprobe=4),
         "embedding_near_dup": _near_dup_oracle(
             planes=4, threshold=0.3, max_bucket=1000
         ),

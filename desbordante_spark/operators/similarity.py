@@ -37,6 +37,9 @@ __all__ = [
     "plane_components",
     "lsh_bucket",
     "cosine_topk_lsh",
+    "ivf_centroids",
+    "ivf_assign",
+    "cosine_topk_ivf",
     "embedding_near_dup_pairs",
 ]
 
@@ -191,6 +194,120 @@ def cosine_topk_lsh(
          / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
          .otherwise(F.lit(1.0))).alias("cosine"),
     ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> DataFrame:
+    """IVF coarse quantizer: ``k`` centroids picked deterministically from
+    the corpus itself — the vectors whose ``md5(id)`` sorts lowest (a seeded
+    uniform sample with no stored model and no iterative training; the
+    k-means++-style refinement is deliberately skipped so the quantizer is
+    reproducible in plain SQL and identical on any cluster). Returns
+    ``(centroid_id, cvec)`` with dense ids 0..k-1 in md5 order."""
+    w = Window.orderBy(F.md5(F.col("_cid").cast("string")))
+    return (
+        corpus.select(F.col(corpus_id).alias("_cid"),
+                      F.col(vec_col).alias("cvec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).cast("int").alias("centroid_id"), "cvec")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every row (unique ``id_col``) to its nearest centroid by
+    cosine (ties → lowest centroid id): one broadcast join + a per-id window
+    argmax. Adds ``out_col`` to ``df``."""
+    v = F.col(vec_col)
+    cos = (
+        _dot(v, F.col("cvec"))
+        / F.when(_norm(v) * _norm(F.col("cvec")) > 0,
+                 _norm(v) * _norm(F.col("cvec"))).otherwise(F.lit(1.0))
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_cos", cos)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns, F.col("centroid_id").cast("int").alias(out_col))
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat ANN top-k: corpus rows are bucketed by nearest centroid
+    (inverted lists); each query probes its ``nprobe`` nearest centroids'
+    lists and re-scores exactly. Same output schema as the brute-force path.
+
+    Scale shape: centroid table is tiny (broadcast twice); the corpus scan
+    assigns + shuffles once on centroid_id; the probe is a hash join on
+    centroid_id. Recall is tunable via nprobe/n_centroids."""
+    cents = ivf_centroids(corpus, corpus_id, vec_col, n_centroids)
+    cb = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")),
+        cents, "neighbor_id", "cv", "centroid_id",
+    ).withColumn("cn", _norm(F.col("cv")))
+    # query → nprobe nearest centroids
+    qv = F.col("qv")
+    qcos = (
+        _dot(qv, F.col("cvec"))
+        / F.when(_norm(qv) * _norm(F.col("cvec")) > 0,
+                 _norm(qv) * _norm(F.col("cvec"))).otherwise(F.lit(1.0))
+    )
+    qscored = (
+        queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", qcos)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    j = F.broadcast(probes).join(cb, "centroid_id")
+    if exclude_self:
+        j = j.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
+         .otherwise(F.lit(1.0))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -205,3 +205,36 @@ def test_lang_id_table_matches_scalar(spark):
     table = {r["id"]: r["pred_lang"] for r in
              lang_id_table(df, "text", "id").collect()}
     assert scalar == table
+
+
+def test_cosine_topk_ivf_recall(vectors):
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(q, vectors, "vec_id", "vec_id",
+                                        k=1).collect()
+    }
+    # probing every centroid makes IVF exhaustive → must equal brute force
+    cents = ivf_centroids(vectors, "vec_id", k=4)
+    assert cents.count() == 4
+    assigned = ivf_assign(vectors, cents, "vec_id")
+    assert assigned.count() == vectors.count()  # total partition of corpus
+    full = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_ivf(q, vectors, "vec_id", "vec_id", k=1,
+                                 n_centroids=4, nprobe=4).collect()
+    }
+    assert full == exact
+    # nprobe=1 still returns some neighbors (recall may drop, never crash)
+    part = cosine_topk_ivf(q, vectors, "vec_id", "vec_id", k=1,
+                           n_centroids=4, nprobe=1).collect()
+    assert 0 < len(part) <= 5
