@@ -45,6 +45,23 @@ def _staged_docs(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(_DOCS_PATH)
 
 
+_DOCS_CLEAN_PATH = f"{_STAGE_ROOT}/docs{_STAGE_DOCS}_clean"
+
+
+def _staged_docs_clean(spark: SparkSession) -> DataFrame:
+    """Same generated table with span-order violations disabled — the
+    reference-parity twin for the span-sequence equality check."""
+    import os
+
+    if not os.path.exists(f"{_DOCS_CLEAN_PATH}/_SUCCESS"):
+        from desbordante_spark.sources.interleaved import generate_documents
+
+        generate_documents(
+            spark, _STAGE_DOCS, offset_viol_every=0
+        ).write.mode("overwrite").parquet(_DOCS_CLEAN_PATH)
+    return spark.read.parquet(_DOCS_CLEAN_PATH)
+
+
 def _staged_catalog(spark: SparkSession) -> DataFrame:
     import os
 
@@ -202,6 +219,18 @@ def _q_span_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_wellformed_violations(docs).select(
         "doc_id", F.array_join("reasons", ",").alias("reasons")
     )
+
+
+def _q_span_equality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # input_hint per-row invariant: span-sequence equality (kind, text,
+    # media_ref, order preserved exactly) between two snapshots — here the
+    # staged table vs its order-violation-free twin; exactly the reversed-
+    # offset docs mismatch
+    from desbordante_spark.operators.span_invariant import span_sequence_equality
+
+    a = _staged_docs(spark)
+    b = _staged_docs_clean(spark)
+    return span_sequence_equality(a, b)
 
 
 def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_by_type": _q_drift_events_by_type,
         "span_invariant_violations": _q_span_invariant_violations,
         "referential_media_catalog": _q_referential_media_catalog,
+        "span_equality_docs": _q_span_equality_docs,
         "od_violations_lineitem": _q_od_violations_lineitem,
         "mfd_violations_orders": _q_mfd_violations_orders,
         "cfd_metrics_orders": _q_cfd_metrics_orders,
@@ -1193,6 +1223,33 @@ SELECT doc_id,
          CASE WHEN bad_text THEN 'text_presence' END,
          CASE WHEN bad_ref THEN 'media_ref_presence' END) AS reasons
 FROM r WHERE bad_offset OR bad_kind OR bad_text OR bad_ref
+"""
+
+
+def _span_equality_oracle() -> str:
+    """Canonical span serialization (offset-sorted, injective field join)
+    compared across the two staged tables — equivalent to the library's
+    struct-array comparison because the serialization is injective and
+    zero-padded offsets sort lexicographically like integers."""
+    canon = (
+        "array_to_string(list_sort(list_transform(spans, s -> "
+        "lpad(CAST(s.\"offset\" AS VARCHAR), 4, '0') || chr(31) || s.kind"
+        " || chr(31) || coalesce(s.text, chr(30)) || chr(31)"
+        " || coalesce(s.media_ref, chr(30)))), chr(29))"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {canon} AS ca
+           FROM read_parquet('{_DOCS_PATH}/*.parquet')),
+b AS (SELECT doc_id, {canon} AS cb
+      FROM read_parquet('{_DOCS_CLEAN_PATH}/*.parquet')),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ca, cb
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+s AS (SELECT doc_id,
+             CASE WHEN ca IS NULL THEN 'only_right'
+                  WHEN cb IS NULL THEN 'only_left'
+                  WHEN ca <> cb THEN 'mismatch' END AS status
+      FROM j)
+SELECT doc_id, status FROM s WHERE status IS NOT NULL
 """
 
 
@@ -1689,6 +1746,7 @@ FROM m
         "ind_discovery_nary": _nary_ind_oracle(),
         "span_invariant_violations": _span_invariant_oracle(),
         "referential_media_catalog": _referential_staged_oracle(),
+        "span_equality_docs": _span_equality_oracle(),
         "ann_topk_lsh_embeddings": _ann_lsh_oracle(planes=6, k=3),
         "ann_topk_ivf_embeddings": _ivf_oracle(k=3, n_centroids=16, nprobe=4),
         "embedding_near_dup": _near_dup_oracle(

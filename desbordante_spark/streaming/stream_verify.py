@@ -29,6 +29,8 @@ __all__ = [
     "streaming_profile",
     "streaming_span_invariant",
     "streaming_first_seen_dedup",
+    "streaming_histogram_sketch",
+    "drift_foreach_batch",
 ]
 
 
@@ -134,6 +136,81 @@ def streaming_first_seen_dedup(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_histogram_sketch(
+    stream: DataFrame,
+    value_col: str,
+    event_time_col: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    bucket_width: float | None = None,
+    discrete: bool = False,
+) -> DataFrame:
+    """Windowed histogram sketch of a streaming column:
+    ``(window_start, bucket, cnt)`` — one stateful aggregation, state
+    bounded by the watermark; rows append once a window finalizes. The
+    streaming half of drift detection: pair with ``drift_foreach_batch``
+    (or sink the sketch and run the batch ``drift_metrics``)."""
+    v = F.col(value_col)
+    if discrete:
+        bucket = v.cast("string")
+    else:
+        width = bucket_width if bucket_width is not None else 1.0
+        bucket = F.floor(v / F.lit(float(width))).cast("string")
+    return (
+        stream.filter(v.isNotNull())
+        .withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(F.col(event_time_col), window).alias("win"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "cnt")
+    )
+
+
+def drift_foreach_batch(
+    baseline: list[tuple[str, int]],
+    on_alert,
+    ks_threshold: float = 0.1,
+):
+    """``foreachBatch`` body for streaming drift: each micro-batch of
+    FINALIZED sketch windows (append output of
+    ``streaming_histogram_sketch``) is compared against a static baseline
+    histogram (``[(bucket, cnt), ...]`` — tiny, captured on the driver) with
+    the batch KS/chi² machinery; drifted windows are passed to
+    ``on_alert(rows)``.
+
+    Windowed KS needs a cumulative scan, which streaming aggregation can't
+    chain — foreachBatch is exactly the supported composition point: the
+    stateful windowing stays streaming, the per-window verdict runs as a
+    (tiny) batch job on finalized windows only.
+    """
+    from desbordante_spark.operators.drift import drift_metrics
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = spark.createDataFrame(
+            [("__baseline__", b, int(c)) for b, c in baseline],
+            "partition string, bucket string, cnt long",
+        )
+        sketch = batch_df.select(
+            F.col("window_start").cast("string").alias("partition"),
+            "bucket",
+            "cnt",
+        ).unionByName(base)
+        out = drift_metrics(
+            sketch, baseline_partition="__baseline__",
+            ks_threshold=ks_threshold,
+        )
+        alerts = out.filter(F.col("drifted") == 1).collect()
+        if alerts:
+            on_alert(alerts)
+
+    return fn
 
 
 def streaming_span_invariant(

@@ -156,3 +156,54 @@ def test_streaming_first_seen_timeout_frees_state(spark, tmp_path):
         "old": 1, "new1": 1, "new2": 1
     }
     assert per_key["old"][0]["first_seen"] == 1
+
+
+def test_streaming_drift(spark, tmp_path):
+    # window 1: values ~ baseline; window 2: shifted distribution → drift.
+    # three files with pinned mtimes; the third only advances the watermark
+    # so windows 1-2 finalize and reach foreachBatch
+    from desbordante_spark.streaming.stream_verify import (
+        drift_foreach_batch,
+        streaming_histogram_sketch,
+    )
+
+    import os
+
+    src = tmp_path / "drift"
+    src.mkdir()
+    batches = [
+        [{"doc_id": f"a{i}", "ts": f"2026-01-01T00:00:{i:02d}", "v": float(i % 4)}
+         for i in range(16)],
+        [{"doc_id": f"b{i}", "ts": f"2026-01-01T00:01:{i:02d}",
+          "v": 30.0 + i % 4} for i in range(16)],
+        [{"doc_id": "late", "ts": "2026-01-01T01:00:00", "v": 1.0}],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1000000000 + i * 1000, 1000000000 + i * 1000))
+    stream = (
+        spark.readStream.schema("doc_id string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sketch = streaming_histogram_sketch(
+        stream, "v", "ts", window="1 minute", watermark="5 seconds",
+        bucket_width=1.0,
+    )
+    # baseline matches window 1's distribution (uniform over buckets 0-3)
+    baseline = [(str(b), 4) for b in range(4)]
+    alerts: list = []
+    q = (
+        sketch.writeStream.outputMode("append")
+        .foreachBatch(drift_foreach_batch(baseline, alerts.extend,
+                                          ks_threshold=0.3))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drifted = {r["partition"] for r in alerts}
+    assert any(p.endswith("00:01:00") for p in drifted)   # shifted window
+    assert not any(p.endswith("00:00:00") for p in drifted)  # baseline-like
