@@ -1024,7 +1024,8 @@ def _od_discovery_oracle(max_swap: int = 0) -> str:
             if a == b:
                 continue
             branches.append(f"""
-SELECT '{a}' AS lhs, '{b}' AS rhs, 'asc' AS direction,
+SELECT 'l_orderkey' AS context, '{a}' AS lhs, '{b}' AS rhs,
+       'asc' AS direction,
        CAST(coalesce(sum(CASE WHEN pm > min_bv THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS num_swap_groups,
        CAST(count(*) AS BIGINT) AS total_groups,

@@ -27,52 +27,79 @@ from pyspark.sql import functions as F
 __all__ = ["discover_ods"]
 
 
+_SEP = "\x01"
+_NULLMARK = "\x00∅"
+
+
 def discover_ods(
     df: DataFrame,
     columns: Sequence[str] | None = None,
     context: Sequence[str] = (),
     directions: Sequence[str] = ("asc", "desc"),
     max_swap_groups: int = 0,
+    context_candidates: Sequence[Sequence[str]] | None = None,
 ) -> DataFrame:
     """All column pairs ``A -> B`` (A ≠ B, numeric-castable) such that
     ordering by A orders B within every context group.
 
-    Output: ``(lhs, rhs, direction, num_swap_groups, total_groups, holds)``
-    for every candidate — ``holds`` = 1 iff ``num_swap_groups <=
+    Output: ``(context, lhs, rhs, direction, num_swap_groups, total_groups,
+    holds)`` for every candidate — ``holds`` = 1 iff ``num_swap_groups <=
     max_swap_groups`` (0 = exact OD). ``direction`` is the B ordering
     checked against A ascending (``asc``: A↑ ⇒ B↑; ``desc``: A↑ ⇒ B↓).
+
+    ``context_candidates`` (Fastod's context lattice, restricted to an
+    explicit candidate list) checks the same pairs under SEVERAL context
+    column-sets at once — still ONE job: the context value joins the
+    explode key, so every (context set × pair × direction) candidate shares
+    the single aggregation + window pass.
     """
-    context = list(context)
+    ctx_sets: list[list[str]] = (
+        [list(c) for c in context_candidates]
+        if context_candidates is not None
+        else [list(context)]
+    )
+    ctx_union = sorted({c for cs in ctx_sets for c in cs})
     cols = list(columns) if columns else [
-        c for c in df.columns if c not in context
+        c for c in df.columns if c not in ctx_union
     ]
-    cands: list[tuple[str, str, str]] = [
-        (a, b, d)
+    cands: list[tuple[int, str, str, str]] = [
+        (k, a, b, d)
+        for k in range(len(ctx_sets))
         for a in cols for b in cols if a != b
         for d in directions
     ]
     structs = []
-    for i, (a, b, d) in enumerate(cands):
+    for i, (k, a, b, d) in enumerate(cands):
         bv = F.col(b).cast("double")
         if d == "desc":
             bv = -bv
+        ctxk = (
+            F.concat_ws(
+                _SEP,
+                *[F.coalesce(F.col(c).cast("string"), F.lit(_NULLMARK))
+                  for c in ctx_sets[k]],
+            )
+            if ctx_sets[k]
+            else F.lit("")
+        )
         structs.append(
             F.struct(
                 F.lit(i).alias("cid"),
+                ctxk.alias("ctxk"),
                 F.col(a).cast("double").alias("av"),
                 bv.alias("bv"),
             )
         )
     exploded = (
-        df.select(*context, F.explode(F.array(*structs)).alias("c"))
-        .select(*context, "c.cid", "c.av", "c.bv")
+        df.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.cid", "c.ctxk", "c.av", "c.bv")
         .filter(F.col("av").isNotNull() & F.col("bv").isNotNull())
     )
-    g = exploded.groupBy("cid", *context, "av").agg(
+    g = exploded.groupBy("cid", "ctxk", "av").agg(
         F.min("bv").alias("min_bv"), F.max("bv").alias("max_bv")
     )
     w = (
-        Window.partitionBy("cid", *context)
+        Window.partitionBy("cid", "ctxk")
         .orderBy(F.col("av").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -84,13 +111,14 @@ def discover_ods(
     )
     spark = df.sparkSession
     dim = spark.createDataFrame(
-        [(i, a, b, d) for i, (a, b, d) in enumerate(cands)],
-        "cid int, lhs string, rhs string, direction string",
+        [(i, ",".join(ctx_sets[k]), a, b, d)
+         for i, (k, a, b, d) in enumerate(cands)],
+        "cid int, context string, lhs string, rhs string, direction string",
     )
     out = F.broadcast(dim).join(per_cand, "cid", "left")
     nsw = F.coalesce(F.col("num_swap_groups"), F.lit(0)).cast("long")
     return out.select(
-        "lhs", "rhs", "direction",
+        "context", "lhs", "rhs", "direction",
         nsw.alias("num_swap_groups"),
         F.coalesce(F.col("total_groups"), F.lit(0)).cast("long")
         .alias("total_groups"),

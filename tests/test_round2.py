@@ -368,3 +368,25 @@ def test_discover_afds(spark):
         for (lhs2, rhs2) in got:
             if rhs == rhs2 and lhs != lhs2:
                 assert not set(lhs2) < set(lhs)
+
+
+def test_discover_ods_context_candidates(spark):
+    # b increases with a inside each c1 group, but pooling them (c2 is one
+    # value everywhere) creates a swap — the OD holds under context {c1}
+    # and fails under {c2}
+    rows = [
+        (1, 9, 1, 1.0), (1, 9, 2, 2.0),
+        (2, 9, 3, 0.5), (2, 9, 4, 0.6),
+    ]
+    df = spark.createDataFrame(rows, "c1 int, c2 int, a int, b double")
+    from desbordante_spark.discovery.order import discover_ods
+
+    out = {
+        (r["context"], r["lhs"], r["rhs"], r["direction"]): r["holds"]
+        for r in discover_ods(
+            df, ["a", "b"], directions=("asc",),
+            context_candidates=[["c1"], ["c2"]],
+        ).collect()
+    }
+    assert out[("c1", "a", "b", "asc")] == 1
+    assert out[("c2", "a", "b", "asc")] == 0
