@@ -1,0 +1,31 @@
+"""Differential dependencies — mirrors /root/reference/examples/mining_dd.py
+on the verification side: rows close on the LHS attribute must be close on
+the RHS (banded equi-self-join, never a cross join)."""
+
+from __future__ import annotations
+
+from desbordante_spark.operators.dd import dd_verify, dd_violations
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # "suppliers with account balances within 100 must be within 5 nations"
+    res = dd_verify(
+        supplier, {"s_acctbal": (0.0, 100.0)}, "s_nationkey", 0.0, 5.0,
+        row_id="s_suppkey",
+    )
+    print(f"DD holds: {res.holds} — {res.num_violating_clusters} of "
+          f"{res.total_rows} qualifying pairs violate "
+          f"(error {res.error:.4f})")
+    for r in dd_violations(
+        supplier, {"s_acctbal": (0.0, 100.0)}, "s_nationkey", 0.0, 5.0,
+        row_id="s_suppkey",
+    ).limit(3).collect():
+        print(f"  pair ({r['id_a']}, {r['id_b']}): nation distance "
+              f"{r['rhs_distance']:.0f}")
+
+
+if __name__ == "__main__":
+    from desbordante_spark.session import get_spark
+
+    main(get_spark(app_name="example-dd"))
