@@ -240,8 +240,10 @@ def _q_referential_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.ind import ind_metrics_df
 
     docs = _staged_docs(spark)
-    refs = docs.select(F.explode("spans").alias("s")).select(
-        F.col("s.media_ref").alias("media_ref")
+    # field-first explode → nested pruning: the scan reads only the
+    # media_ref subfield, never the span text bulk
+    refs = docs.select(
+        F.explode(F.col("spans").getField("media_ref")).alias("media_ref")
     )
     catalog = _staged_catalog(spark)
     return ind_metrics_df(refs, ["media_ref"], catalog, ["media_ref"])

@@ -74,8 +74,12 @@ def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
     catalog = spark.read.parquet(f"{stage_dir}/media_catalog")
     timings["docs_generate"] = time.monotonic() - t0
 
-    refs = docs.select("part_key", F.explode("spans").alias("s")).select(
-        "part_key", F.col("s.media_ref").alias("media_ref")
+    # field-first explode: extracting spans.media_ref BEFORE the explode lets
+    # nested-schema pruning reach the scan (ReadSchema carries only the
+    # media_ref subfield — the span text bulk is never read)
+    refs = docs.select(
+        "part_key",
+        F.explode(F.col("spans").getField("media_ref")).alias("media_ref"),
     )
     stages = [
         ("docs_uniqueness",

@@ -34,8 +34,9 @@ def main(spark, n_docs: int = 20_000) -> None:
                 {"lhs": ["media_ref"], "rhs": ["media_ref"],
                  "rhs_table": "media_catalog",
                  "lhs_frame": lambda d: d.select(
-                     "part_key", F.explode("spans").alias("s")
-                 ).select("part_key", F.col("s.media_ref").alias("media_ref"))},
+                     "part_key",
+                     F.explode(F.col("spans").getField("media_ref"))
+                     .alias("media_ref"))},
             ),
             Constraint(
                 "span_count_drift", "drift",

@@ -64,10 +64,14 @@ def main() -> None:
             "media_refs_resolve",
             "referential",
             {
+                # field-first explode → nested pruning: only the media_ref
+                # subfield is read from the span structs
                 "lhs_frame": lambda df: df.select(
-                    args.partition_col, F.explode("spans").alias("s")
-                ).select(args.partition_col,
-                         F.col("s.media_ref").alias("media_ref")),
+                    args.partition_col,
+                    F.explode(F.col("spans").getField("media_ref")).alias(
+                        "media_ref"
+                    ),
+                ),
                 "lhs": ["media_ref"],
                 "rhs_table": "media_catalog",
                 "rhs": ["media_ref"],
