@@ -2,9 +2,13 @@
 
 ``entry(spark)`` — flagship verification suite slice on sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-equivalent SQL per query key; every computed
-column is aliased identically on both sides, integer/rational outputs are
-preferred so value hashes match bit-exactly across engines.
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query key (46/46, no
+rows-only checks): computed columns aliased identically on both sides,
+integer/rational outputs preferred, float folds mirrored via
+``list_reduce`` (left fold ≡ ``F.aggregate``), LSH planes / IVF centroids
+md5-derived so they regenerate in SQL, and queries over generated tables
+staged once to ``/tmp/spark_graft_stage`` parquet that both engines read
+(see CLAUDE.md oracle-match rules).
 """
 
 from __future__ import annotations
