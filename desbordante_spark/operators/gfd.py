@@ -139,6 +139,11 @@ def gfd_matches(
         else:
             if b in bound:  # orient so the bound side is `a`
                 a, b = b, a
+            if a not in bound:
+                # disconnected component: seed it with a's candidates, then
+                # extend along this edge as usual
+                matched = matched.crossJoin(cand(a))
+                bound.add(a)
             matched = (
                 matched.join(el, F.col(f"{a}__id") == F.col("_s"))
                 .join(cand(b), F.col("_d") == F.col(f"{b}__id"))

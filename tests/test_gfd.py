@@ -120,3 +120,27 @@ def test_gfd_metrics_df_counts(graph):
     assert row["num_violations"] == 2
     assert row["error"] == pytest.approx(0.5)
     assert row["holds"] == 0
+
+
+def test_gfd_disconnected_pattern_components(spark):
+    # pattern = two disjoint edges: embeddings are pairs of edge matches
+    # with all four vertices distinct
+    v = spark.createDataFrame(
+        [("a", "n", None), ("b", "n", None), ("c", "n", None),
+         ("d", "n", None)],
+        "vertex_id string, label string, city string",
+    )
+    e = spark.createDataFrame(
+        [("a", "b", "e"), ("c", "d", "e")],
+        "src string, dst string, label string",
+    )
+    m = gfd_matches(
+        v, e, {"w": None, "x": None, "y": None, "z": None},
+        [("w", "x", "e"), ("y", "z", "e")],
+    ).collect()
+    # each undirected edge matches 2 ways; two ordered edge choices with
+    # disjoint vertices: 2 edges × 2 orient × 2 orient = 8
+    assert len(m) == 8
+    for r in m:
+        ids = {r["w__id"], r["x__id"], r["y__id"], r["z__id"]}
+        assert len(ids) == 4
