@@ -49,13 +49,25 @@ def distinct_counts(
     return {cols: int(row[f"c{i}"]) for i, cols in enumerate(column_sets)}
 
 
+#: sketch-prune slack: HLL++ default rsd is ~5%, so a candidate whose
+#: approximate count is within 15% of the target cannot be safely rejected
+#: and goes to the exact confirmation pass
+_APPROX_TOLERANCE = 0.15
+
+
 def discover_uccs(
     df: DataFrame,
     columns: list[str] | None = None,
     max_size: int = 3,
     exact: bool = True,
 ) -> list[tuple[str, ...]]:
-    """All minimal unique column combinations up to ``max_size`` columns."""
+    """All minimal unique column combinations up to ``max_size`` columns.
+
+    ``exact=False`` is the scale path: the level's candidates are first
+    scored with HLL++ sketches (no Expand blowup), and only the candidates
+    the sketch can't rule out (approx count within ``_APPROX_TOLERANCE`` of
+    n) are re-counted exactly — results are always EXACT, the sketch only
+    prunes (HyFD-style two-phase)."""
     cols = columns or df.columns
     n = df.count()
     uccs: list[tuple[str, ...]] = []
@@ -64,6 +76,12 @@ def discover_uccs(
         if not candidates:
             break
         cd = distinct_counts(df, candidates, exact)
+        if not exact:
+            maybe = [s for s in candidates
+                     if cd[s] >= n * (1 - _APPROX_TOLERANCE)]
+            cd.update(distinct_counts(df, maybe, exact=True))
+            # non-confirmed candidates keep their (under-n) sketch counts —
+            # only the key decision below needs exactness
         keys = [s for s in candidates if cd[s] == n]
         uccs.extend(keys)
         survivors = [s for s in candidates if cd[s] < n]
@@ -90,7 +108,10 @@ def discover_fds(
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs``.
 
     Returns ``[(lhs_tuple, rhs_col), ...]`` sorted. Constant columns yield
-    ``() -> A`` (the reference reports these as FDs with empty LHS)."""
+    ``() -> A`` (the reference reports these as FDs with empty LHS).
+    ``exact=False`` = sketch-prune + exact-confirm two-phase (see
+    ``discover_uccs``): results stay exact, the Expand-heavy exact job runs
+    only on the sketch survivors."""
     cols = sorted(columns or df.columns)
     n = df.count()
     fds: list[tuple[tuple[str, ...], str]] = []
@@ -129,6 +150,20 @@ def discover_fds(
                 if ext not in cd_cache:
                     need.add(ext)
         cd_cache.update(distinct_counts(df, sorted(need), exact))
+        if not exact:
+            # two-phase (HyFD-style): the sketch only PRUNES — every
+            # candidate equality it can't rule out is re-counted exactly in
+            # one batched job, so reported FDs/keys are always exact
+            confirm: set[tuple[str, ...]] = set()
+            for s in lhs_sets:
+                if cd_cache.get(s, 0) >= n * (1 - _APPROX_TOLERANCE):
+                    confirm.add(s)
+            for s, a, ext in pairs:
+                lo, hi = sorted((cd_cache[s], cd_cache[ext]))
+                if lo >= hi * (1 - _APPROX_TOLERANCE):
+                    confirm.add(s)
+                    confirm.add(ext)
+            cd_cache.update(distinct_counts(df, sorted(confirm), exact=True))
         for s in lhs_sets:
             if cd_cache.get(s) == n:
                 keys.append(s)

@@ -390,3 +390,17 @@ def test_discover_ods_context_candidates(spark):
     }
     assert out[("c1", "a", "b", "asc")] == 1
     assert out[("c2", "a", "b", "asc")] == 0
+
+
+def test_discovery_approx_mode_matches_exact(spark):
+    # exact=False is sketch-prune + exact-confirm: results must EQUAL the
+    # exact path (the sketch only prunes)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    from desbordante_spark.discovery.tane import discover_fds, discover_uccs
+
+    df = orders.select(*cols)
+    assert discover_fds(df, max_lhs=2, exact=False) == \
+        discover_fds(df, max_lhs=2, exact=True)
+    assert discover_uccs(df, max_size=2, exact=False) == \
+        discover_uccs(df, max_size=2, exact=True)
