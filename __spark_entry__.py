@@ -1312,12 +1312,14 @@ def _nary_ind_oracle() -> str:
     cand: list[tuple[str, list[str], str, list[str]]] = []
     for lt in tables:
         for rt in tables:
-            if lt == rt:
-                continue
             for lc in cols:
                 for rc in cols:
+                    if lt == rt and lc == rc:  # identical projection
+                        continue
                     cand.append((lt, [lc], rt, [rc]))
             for rperm in permutations(cols):
+                if lt == rt and list(rperm) == list(cols):
+                    continue
                 cand.append((lt, list(cols), rt, list(rperm)))
     for lt, lcs, rt, rcs in cand:
         la, ra, ca = f"l{idx}", f"r{idx}", f"c{idx}"

@@ -104,11 +104,14 @@ def discover_nary_inds(
     }
     results: list[tuple[str, str, int, int, int, float, int]] = []
 
-    # level 1: every cross-table unary pair
+    # level 1: every unary pair, INCLUDING same-table column pairs (the
+    # reference Mind consumes Spider's unary INDs, which include intra-table
+    # pairs); only the identical projection (lt==rt and lc==rc) is skipped.
     unary_cands = [
         (lt, (lc,), rt, (rc,))
-        for lt in tables for rt in tables if lt != rt
+        for lt in tables for rt in tables
         for lc in cols_of[lt] for rc in cols_of[rt]
+        if not (lt == rt and lc == rc)
     ]
     valid: set[tuple[str, str, tuple[tuple[str, str], ...]]] = set()
     cands = unary_cands
@@ -148,6 +151,8 @@ def discover_nary_inds(
                 lcols = tuple(p[0] for p in combo)
                 rcols = tuple(p[1] for p in combo)
                 if len(set(lcols)) < len(lcols) or len(set(rcols)) < len(rcols):
+                    continue
+                if lt == rt and lcols == rcols:  # identical projection
                     continue
                 # downward closure: every arity-k projection must be valid
                 if any(

@@ -70,7 +70,11 @@ def discover_ods(
     ]
     structs = []
     for i, (k, a, b, d) in enumerate(cands):
-        bv = F.col(b).cast("double")
+        # try_cast, not cast: columns default to ALL non-context columns, and
+        # under ANSI mode a plain cast on a text column raises
+        # CAST_INVALID_INPUT at runtime; non-castable values become NULL and
+        # are filtered below (same fix class as drift.py).
+        bv = F.col(b).try_cast("double")
         if d == "desc":
             bv = -bv
         ctxk = (
@@ -86,7 +90,7 @@ def discover_ods(
             F.struct(
                 F.lit(i).alias("cid"),
                 ctxk.alias("ctxk"),
-                F.col(a).cast("double").alias("av"),
+                F.col(a).try_cast("double").alias("av"),
                 bv.alias("bv"),
             )
         )

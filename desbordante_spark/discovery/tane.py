@@ -28,11 +28,42 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["discover_fds", "discover_uccs", "distinct_counts"]
+__all__ = ["discover_fds", "discover_uccs", "distinct_counts",
+           "approx_tolerance"]
+
+#: HLL++ relative standard deviation used for the sketch-prune phase
+#: (Spark's approx_count_distinct default).
+_DEFAULT_RSD = 0.05
+
+#: how many sketch standard deviations of slack the prune keeps before it
+#: dares reject a candidate without exact confirmation
+_PRUNE_SIGMAS = 4.0
+
+
+def approx_tolerance(rsd: float = _DEFAULT_RSD,
+                     sigmas: float = _PRUNE_SIGMAS) -> float:
+    """Sketch-prune slack derived from the configured HLL++ ``rsd``.
+
+    A candidate equality ``|π_X| == |π_{X∪A}|`` is rejected WITHOUT exact
+    confirmation only when the two sketch counts differ by more than
+    ``sigmas·rsd`` of the larger, after allowing ``sigmas·rsd`` error on each
+    side: tolerance = 1 − (1 − sigmas·rsd)/(1 + sigmas·rsd). With the
+    defaults (rsd=0.05, 4σ) that is ≈ 0.333. HLL++ error is ~Gaussian, so
+    the probability a true equality is wrongly pruned is the chance either
+    sketch errs beyond 4σ — ≲ 1.3e-4 per candidate pair (union bound over
+    the lattice applies; pass a smaller ``rsd`` to tighten). ``exact=True``
+    has no such bound and is fully exact."""
+    s = sigmas * rsd
+    if s >= 1.0:
+        return 1.0
+    return 1.0 - (1.0 - s) / (1.0 + s)
 
 
 def distinct_counts(
-    df: DataFrame, column_sets: list[tuple[str, ...]], exact: bool = True
+    df: DataFrame,
+    column_sets: list[tuple[str, ...]],
+    exact: bool = True,
+    rsd: float = _DEFAULT_RSD,
 ) -> dict[tuple[str, ...], int]:
     """Exact (or HLL-approximate) distinct counts for many column sets in
     one scan/job."""
@@ -42,17 +73,13 @@ def distinct_counts(
     for i, cols in enumerate(column_sets):
         key = F.struct(*[F.col(c) for c in cols])
         agg = (
-            F.count_distinct(key) if exact else F.approx_count_distinct(key)
+            F.count_distinct(key)
+            if exact
+            else F.approx_count_distinct(key, rsd)
         )
         aggs.append(agg.alias(f"c{i}"))
     row = df.agg(*aggs).collect()[0]
     return {cols: int(row[f"c{i}"]) for i, cols in enumerate(column_sets)}
-
-
-#: sketch-prune slack: HLL++ default rsd is ~5%, so a candidate whose
-#: approximate count is within 15% of the target cannot be safely rejected
-#: and goes to the exact confirmation pass
-_APPROX_TOLERANCE = 0.15
 
 
 def discover_uccs(
@@ -60,25 +87,29 @@ def discover_uccs(
     columns: list[str] | None = None,
     max_size: int = 3,
     exact: bool = True,
+    rsd: float = _DEFAULT_RSD,
 ) -> list[tuple[str, ...]]:
     """All minimal unique column combinations up to ``max_size`` columns.
 
     ``exact=False`` is the scale path: the level's candidates are first
     scored with HLL++ sketches (no Expand blowup), and only the candidates
-    the sketch can't rule out (approx count within ``_APPROX_TOLERANCE`` of
-    n) are re-counted exactly — results are always EXACT, the sketch only
-    prunes (HyFD-style two-phase)."""
+    the sketch can't rule out (approx count within ``approx_tolerance(rsd)``
+    of n) are re-counted exactly. Every REPORTED UCC is exact (it passed an
+    exact count); what is probabilistic is pruning — a true UCC is missed
+    only if its sketch errs beyond ~4σ (P ≲ 1.3e-4 per candidate, see
+    ``approx_tolerance``). ``exact=True`` is fully exact."""
     cols = columns or df.columns
+    tol = approx_tolerance(rsd)
     n = df.count()
     uccs: list[tuple[str, ...]] = []
     candidates = [(c,) for c in cols]
     for _level in range(1, max_size + 1):
         if not candidates:
             break
-        cd = distinct_counts(df, candidates, exact)
+        cd = distinct_counts(df, candidates, exact, rsd)
         if not exact:
             maybe = [s for s in candidates
-                     if cd[s] >= n * (1 - _APPROX_TOLERANCE)]
+                     if cd[s] >= n * (1 - tol)]
             cd.update(distinct_counts(df, maybe, exact=True))
             # non-confirmed candidates keep their (under-n) sketch counts —
             # only the key decision below needs exactness
@@ -104,21 +135,25 @@ def discover_fds(
     columns: list[str] | None = None,
     max_lhs: int = 2,
     exact: bool = True,
+    rsd: float = _DEFAULT_RSD,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs``.
 
     Returns ``[(lhs_tuple, rhs_col), ...]`` sorted. Constant columns yield
     ``() -> A`` (the reference reports these as FDs with empty LHS).
     ``exact=False`` = sketch-prune + exact-confirm two-phase (see
-    ``discover_uccs``): results stay exact, the Expand-heavy exact job runs
-    only on the sketch survivors."""
+    ``discover_uccs``): every REPORTED FD passed an exact count; pruning is
+    probabilistic — a true FD is dropped only if a sketch errs beyond
+    ``approx_tolerance(rsd)`` (~4σ, P ≲ 1.3e-4 per candidate pair). The
+    Expand-heavy exact job runs only on the sketch survivors."""
     cols = sorted(columns or df.columns)
+    tol = approx_tolerance(rsd)
     n = df.count()
     fds: list[tuple[tuple[str, ...], str]] = []
     found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
 
     # level 0: constant columns
-    cd = distinct_counts(df, [(c,) for c in cols], exact)
+    cd = distinct_counts(df, [(c,) for c in cols], exact, rsd)
     for c in cols:
         if cd[(c,)] <= 1:
             fds.append(((), c))
@@ -149,18 +184,19 @@ def discover_fds(
                 pairs.append((s, a, ext))
                 if ext not in cd_cache:
                     need.add(ext)
-        cd_cache.update(distinct_counts(df, sorted(need), exact))
+        cd_cache.update(distinct_counts(df, sorted(need), exact, rsd))
         if not exact:
             # two-phase (HyFD-style): the sketch only PRUNES — every
             # candidate equality it can't rule out is re-counted exactly in
-            # one batched job, so reported FDs/keys are always exact
+            # one batched job, so every REPORTED FD/key is exact; the
+            # (documented, ~4σ) risk is a wrongly-pruned true equality
             confirm: set[tuple[str, ...]] = set()
             for s in lhs_sets:
-                if cd_cache.get(s, 0) >= n * (1 - _APPROX_TOLERANCE):
+                if cd_cache.get(s, 0) >= n * (1 - tol):
                     confirm.add(s)
             for s, a, ext in pairs:
                 lo, hi = sorted((cd_cache[s], cd_cache[ext]))
-                if lo >= hi * (1 - _APPROX_TOLERANCE):
+                if lo >= hi * (1 - tol):
                     confirm.add(s)
                     confirm.add(ext)
             cd_cache.update(distinct_counts(df, sorted(confirm), exact=True))

@@ -54,18 +54,29 @@ def ac_build_ranges(
     sample_fraction: float = 0.1,
     weight: float = 0.05,
     seed: int = 42,
+    max_sample: int = 100_000,
 ) -> list[tuple[float, float]]:
     """Sample the binop column and cluster sorted values into disjoint
     [lo, hi] ranges; a gap wider than ``weight * (global span)`` starts a new
-    range (the reference's weight-bundling semantics)."""
+    range (the reference's weight-bundling semantics).
+
+    The driver collect is BOUNDED by ``max_sample`` (the reference samples a
+    bounded count, not a fraction): a fraction-only sample of a 100-TB table
+    is billions of rows on the driver. The cap keeps the subset uniform and
+    deterministic — rows are ranked by ``md5`` of the value (not by the value
+    itself, which would bias the truncation to the low end) via a distributed
+    TakeOrderedAndProject, then sorted locally. When the fraction sample fits
+    under the cap the result is identical to the uncapped behavior."""
+    v = _binop_col(col_a, col_b, op)
     vals = (
-        df.select(_binop_col(col_a, col_b, op).alias("v"))
+        df.select(v.alias("v"))
         .filter(F.col("v").isNotNull())
         .sample(fraction=sample_fraction, seed=seed)
-        .orderBy("v")
+        .orderBy(F.md5(F.col("v").cast("string")))
+        .limit(int(max_sample))
         .collect()
     )
-    xs = [r["v"] for r in vals]
+    xs = sorted(r["v"] for r in vals)
     if not xs:
         return []
     span = xs[-1] - xs[0] or 1.0

@@ -119,8 +119,13 @@ def gfd_matches(
         )
         remaining.remove(pick)
         a, b, lbl = pick
-        el = e if lbl is None else e.filter(F.col("_l") == F.lit(lbl))
-        el = el.select("_s", "_d")
+        if lbl is None:
+            # distinct over (_s,_d,_l) is NOT distinct over (_s,_d): a
+            # multigraph edge with the same endpoints under two labels would
+            # multiply embeddings for an unlabeled pattern edge.
+            el = e.select("_s", "_d").distinct()
+        else:
+            el = e.filter(F.col("_l") == F.lit(lbl)).select("_s", "_d")
         if matched is None:
             matched = (
                 cand(a)

@@ -142,7 +142,22 @@ def lsh_bucket(
         plane = F.array(*[F.lit(x) for x in comps])
         s = _dot(v, plane)
         bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    # Guard against a dim mismatch: zip_with pads the shorter side with
+    # NULLs, the dot product goes NULL, every sign test is false and ALL
+    # rows silently collapse into bucket 0. Fail loudly instead.
+    return (
+        F.when(F.size(v) == F.lit(dim), bucket)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket: vector dim != configured dim {dim} (got "),
+                    F.size(v).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+        .cast("int")
+    )
 
 
 def cosine_topk_lsh(
@@ -214,13 +229,23 @@ def ivf_centroids(
     uniform sample with no stored model and no iterative training; the
     k-means++-style refinement is deliberately skipped so the quantizer is
     reproducible in plain SQL and identical on any cluster). Returns
-    ``(centroid_id, cvec)`` with dense ids 0..k-1 in md5 order."""
-    w = Window.orderBy(F.md5(F.col("_cid").cast("string")))
+    ``(centroid_id, cvec)`` with dense ids 0..k-1 in md5 order.
+
+    Scale shape: ``orderBy(...).limit(k)`` plans as a distributed
+    TakeOrderedAndProject (per-partition top-k, tiny merge on the driver) —
+    NOT a global window, which would sort the whole corpus in one partition
+    to pick ``k`` rows. The dense-id window then runs over only ``k`` rows."""
+    picked = (
+        corpus.select(
+            F.md5(F.col(corpus_id).cast("string")).alias("_m"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .orderBy("_m")
+        .limit(k)
+    )
+    w = Window.orderBy("_m")  # k rows only — single tiny partition is fine
     return (
-        corpus.select(F.col(corpus_id).alias("_cid"),
-                      F.col(vec_col).alias("cvec"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        picked.withColumn("_rn", F.row_number().over(w))
         .select((F.col("_rn") - 1).cast("int").alias("centroid_id"), "cvec")
     )
 

@@ -93,12 +93,20 @@ class SuiteRunner:
         return f"{self.checkpoint_dir}/metrics"
 
     def read_metrics(self) -> DataFrame:
+        # Empty-frame fallback ONLY for the path-missing case (first run).
+        # Anything else — corrupt parquet, permission errors — must fail
+        # loudly: silently restarting the whole suite on a damaged
+        # checkpoint would masquerade as "resume worked".
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(_METRICS_SCHEMA).parquet(
                 self._metrics_path()
             )
-        except Exception:
-            return self.spark.createDataFrame([], _METRICS_SCHEMA)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], _METRICS_SCHEMA)
+            raise
 
     def completed_partitions(self, constraint: str) -> DataFrame:
         """Partitions already verified for this (snapshot, constraint)."""
