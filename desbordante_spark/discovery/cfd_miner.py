@@ -1,0 +1,163 @@
+"""CFD discovery — FDFirst-style itemset-rule mining, Spark-batched.
+
+Reference: FDFirst mines conditional FDs as itemset rules over a prefix-tree
+DFS with tidlist partitions (/root/reference/src/core/algorithms/cfd/
+fd_first_algorithm.h:13-72; options cfd_minsup / cfd_minconf / cfd_max_lhs,
+config/names.h:46-51; exercised by examples/mining_cfd.py). A rule's LHS is
+a set of attributes, each bound to a constant or left variable (wildcard
+``_``); the RHS is one attribute, constant (only meaningful when the LHS is
+fully constant) or variable. Rule quality follows the reference's
+most-frequent-RHS semantics (examples/mining_cfd.py::validate_cfd):
+
+- **support**  = number of rows matching every LHS constant,
+- **satisfied** = within each group of supported rows agreeing on ALL LHS
+  attributes (constants and wildcards), the count of the most frequent RHS
+  value, summed over groups,
+- **confidence** = satisfied / support.
+
+Spark-first: ALL candidates — every LHS attribute-set up to ``max_lhs``,
+every constant/variable binding choice, every RHS attribute — are evaluated
+in ONE job. Each row explodes to (candidate, pattern-constants, wildcard
+values, rhs value) tuples (the same row-local |candidates|× fan-out TANE and
+discover_ods pay — the distributed price of exact lattice evaluation), then
+a three-level aggregation (value counts → per-group best → per-pattern
+support/satisfied) scores every (candidate × constant pattern)
+simultaneously. Map-side combine bounds the shuffle by the number of
+DISTINCT patterns, not rows; no per-candidate jobs, no driver-side data.
+
+Divergence from the reference, documented: the reference's free-itemset
+pruning suppresses rules implied by more general ones — a post-filter on
+the same rule universe, applied here only via thresholds. Constant-RHS
+rules report the argmax RHS value; with ``min_confidence > 0.5`` at most
+one constant can qualify per pattern, so the argmax set is complete.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["discover_cfds"]
+
+_SEP = "\x01"
+
+
+def discover_cfds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    min_support: int = 1,
+    min_confidence: float = 0.9,
+    max_lhs: int = 2,
+    rhs_columns: list[str] | None = None,
+) -> DataFrame:
+    """Mine all qualifying CFD rules with ``|LHS| <= max_lhs``.
+
+    Output (one row per rule): ``(lhs_pattern, rhs_attr, rhs, lhs_size,
+    support, satisfied, confidence, is_constant_rhs)`` where ``lhs_pattern``
+    is ``"a=v AND b=_"`` (attributes sorted; ``_`` = wildcard), ``rhs`` is
+    ``"c=v"`` for constant-RHS rules (fully-constant LHS only) or ``"c=_"``
+    for variable rules, and ``confidence = satisfied / support`` under the
+    most-frequent-RHS semantics above. Rows with a NULL in any involved
+    attribute are excluded from that candidate's counts.
+    """
+    cols = sorted(columns or df.columns)
+    rhs_cols = sorted(rhs_columns or cols)
+
+    # (lhs_attrs, const_attrs, rhs_attr); fully-constant LHS => constant RHS
+    cands: list[tuple[tuple[str, ...], tuple[str, ...], str]] = []
+    for k in range(1, max_lhs + 1):
+        for s in combinations(cols, k):
+            for csize in range(0, k + 1):
+                for c in combinations(s, csize):
+                    for b in rhs_cols:
+                        if b in s:
+                            continue
+                        cands.append((s, c, b))
+    if not cands:
+        raise ValueError("no CFD candidates (need >= 2 columns)")
+
+    structs = []
+    for cid, (s, c, b) in enumerate(cands):
+        cset = set(c)
+        pieces = []
+        for a in s:  # s is sorted (combinations of sorted cols)
+            if a in cset:
+                pieces.append(F.concat(F.lit(f"{a}="),
+                                       F.col(a).cast("string")))
+            else:
+                pieces.append(F.lit(f"{a}=_"))
+        pattern = F.concat_ws(" AND ", *pieces)
+        var_attrs = [a for a in s if a not in cset]
+        var_key = (
+            F.concat_ws(_SEP, *[F.col(a).cast("string") for a in var_attrs])
+            if var_attrs
+            else F.lit("")
+        )
+        notnull = F.lit(True)
+        for a in (*s, b):
+            notnull = notnull & F.col(a).isNotNull()
+        structs.append(
+            F.when(
+                notnull,
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    pattern.alias("pat"),
+                    var_key.alias("vk"),
+                    F.col(b).cast("string").alias("rv"),
+                ),
+            )
+        )
+    exploded = df.select(
+        F.explode(
+            F.filter(F.array(*structs), lambda x: x.isNotNull())
+        ).alias("c")
+    ).select("c.cid", "c.pat", "c.vk", "c.rv")
+
+    # value counts -> per-(pattern, wildcard-group) best RHS -> per-pattern
+    cnts = exploded.groupBy("cid", "pat", "vk", "rv").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grp = cnts.groupBy("cid", "pat", "vk").agg(
+        F.sum("cnt").alias("gs"),
+        F.max("cnt").alias("bc"),
+        # argmax RHS value, ties -> lexicographically smallest value
+        F.min(F.struct((-F.col("cnt")).alias("n"), F.col("rv").alias("v")))
+        .getField("v")
+        .alias("bv"),
+    )
+    per_pat = grp.groupBy("cid", "pat").agg(
+        F.sum("gs").cast("long").alias("support"),
+        F.sum("bc").cast("long").alias("satisfied"),
+        F.min("bv").alias("best_rv"),  # single group when LHS fully constant
+    )
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(cid, len(s), b, int(len(c) == len(s)))
+         for cid, (s, c, b) in enumerate(cands)],
+        "cid int, lhs_size int, rhs_attr string, is_constant_rhs int",
+    )
+    j = per_pat.join(F.broadcast(dim), "cid")
+    conf = F.col("satisfied").cast("double") / F.col("support").cast("double")
+    rhs = F.when(
+        F.col("is_constant_rhs") == 1,
+        F.concat(F.col("rhs_attr"), F.lit("="), F.col("best_rv")),
+    ).otherwise(F.concat(F.col("rhs_attr"), F.lit("=_")))
+    return (
+        j.filter(
+            (F.col("support") >= F.lit(int(min_support)))
+            & (conf >= F.lit(float(min_confidence)))
+        )
+        .select(
+            F.col("pat").alias("lhs_pattern"),
+            "rhs_attr",
+            rhs.alias("rhs"),
+            "lhs_size",
+            "support",
+            "satisfied",
+            conf.alias("confidence"),
+            "is_constant_rhs",
+        )
+    )

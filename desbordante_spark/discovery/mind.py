@@ -81,12 +81,62 @@ def _level_validate(
             for r in agg}
 
 
+def _level_validate_sketch(
+    tables: dict[str, DataFrame],
+    candidates: list[tuple[str, tuple[str, ...], str, tuple[str, ...]]],
+    cast_to: str,
+    rsd: float,
+) -> dict[int, tuple[int, int, int]]:
+    """Faida-style HLL prune for a whole level in ONE job: per candidate id
+    → ``(lhs_approx, rhs_approx, union_approx)``.
+
+    Reference: Faida tests IND candidates with HyperLogLog sketches —
+    ``R[X] ⊆ S[Y]`` approximately iff ``|distinct(Y ∪ X)| ≈ |distinct(Y)|``
+    (/root/reference/src/core/algorithms/ind/faida/faida.h:20-24). Spark's
+    ``approx_count_distinct`` IS HLL++; each candidate contributes its LHS
+    tuples tagged (cid, 'L') and its RHS tuples tagged (cid, 'R'); one
+    grouped conditional-sketch aggregate scores every candidate (the union
+    sketch is simply the unconditional one over both sides) — no exact
+    distinct shuffle anywhere."""
+    parts = []
+    for cid, (lt, lcols, rt, rcols) in enumerate(candidates):
+        for side, t, cols in (("L", lt, lcols), ("R", rt, rcols)):
+            v = F.array(*[F.col(c).cast(cast_to) for c in cols])
+            parts.append(
+                tables[t]
+                .select(v.alias("v"))
+                .filter(~F.exists(F.col("v"), lambda x: x.isNull()))
+                .select(F.lit(cid).alias("cid"),
+                        F.lit(side).alias("w"), F.col("v"))
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = (
+        u.groupBy("cid")
+        .agg(
+            F.approx_count_distinct(
+                F.when(F.col("w") == "L", F.col("v")), rsd
+            ).alias("l"),
+            F.approx_count_distinct(
+                F.when(F.col("w") == "R", F.col("v")), rsd
+            ).alias("r"),
+            F.approx_count_distinct(F.col("v"), rsd).alias("u"),
+        )
+        .collect()
+    )
+    return {int(x["cid"]): (int(x["l"]), int(x["r"]), int(x["u"]))
+            for x in agg}
+
+
 def discover_nary_inds(
     tables: dict[str, DataFrame],
     columns: dict[str, list[str]] | None = None,
     max_arity: int = 2,
     max_error: float = 0.0,
     cast_to: str = "string",
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """All valid INDs up to ``max_arity`` among the given tables/columns.
 
@@ -96,6 +146,15 @@ def discover_nary_inds(
     ``max_error > 0`` accepts AINDs but levelwise pruning then assumes
     projections of accepted INDs were themselves accepted (exact for
     ``max_error=0``, the Mind setting).
+
+    ``approx=True`` is the Faida scale path (faida.h:20-24): each level's
+    candidates are first scored with HLL++ containment sketches
+    (``_level_validate_sketch`` — one job, no exact distinct shuffle), and
+    only the candidates the sketch can't rule out go to the exact
+    tuple-containment job. Every REPORTED IND passed the exact check; the
+    (documented) probabilistic risk is pruning — a true IND is dropped only
+    if the union/rhs sketches jointly err beyond ``4·rsd`` (≲ 1e-4 per
+    candidate at the default rsd=0.02).
     """
     spark = next(iter(tables.values())).sparkSession
     cols_of = {
@@ -118,6 +177,17 @@ def discover_nary_inds(
     for arity in range(1, max_arity + 1):
         if not cands:
             break
+        if approx:
+            sk = _level_validate_sketch(tables, cands, cast_to, rsd)
+            survivors = []
+            for cid, cand in enumerate(cands):
+                l_a, r_a, u_a = sk.get(cid, (0, 0, 0))
+                slack = 4.0 * rsd * u_a + max_error * l_a
+                if u_a - r_a <= slack:
+                    survivors.append(cand)
+            cands = survivors
+            if not cands:
+                break
         stats = _level_validate(tables, cands, cast_to)
         new_valid = set()
         for cid, (lt, lcols, rt, rcols) in enumerate(cands):
