@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship verification suite slice on sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query key (46/46, no
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query key (51/51, no
 rows-only checks): computed columns aliased identically on both sides,
 integer/rational outputs preferred, float folds mirrored via
 ``list_reduce`` (left fold ≡ ``F.aggregate``), LSH planes / IVF centroids
@@ -731,6 +731,154 @@ def _q_mfd_highlights_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CFD_COLS = ["o_orderstatus", "o_orderpriority", "o_year"]
+_CFD_MINSUP = 100
+_CFD_MINCONF = 0.8
+
+
+def _q_cfd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FDFirst-style CFD mining (discovery/cfd_miner.py): every qualifying
+    # constant/variable itemset rule over three orders attributes (o_year
+    # derived as the first 4 chars of the date — early years are all-F
+    # status, giving real constant rules)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.cfd_miner import discover_cfds
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.col("o_orderdate").cast("string").substr(1, 4).alias("o_year"),
+    )
+    return discover_cfds(
+        orders,
+        _CFD_COLS,
+        min_support=_CFD_MINSUP,
+        min_confidence=_CFD_MINCONF,
+        max_lhs=2,
+    )
+
+
+def _q_od_discovery_auto_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fastod automatic context-lattice search: charge = price*(1+tax) is
+    # ordered by price only WITHIN a fixed tax rate, so the miner must find
+    # the minimal context {l_tax} and prune its supersets
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.order import discover_ods_auto
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_tax", "l_extendedprice",
+        (F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")))
+        .alias("charge"),
+    )
+    return discover_ods_auto(
+        li, ["charge", "l_extendedprice"], ["l_returnflag", "l_tax"],
+        max_context=2, directions=("asc",),
+    )
+
+
+def _q_dd_discovery_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split-style DD mining: tightest RHS difference bounds over the pairs
+    # qualifying under |Δs_acctbal| <= 100 (same LHS as dd_violations)
+    from desbordante_spark.discovery.split import discover_dds
+
+    return discover_dds(
+        _read(spark, sf_dir, "supplier"),
+        {"s_acctbal": (0.0, 100.0)},
+        ["s_nationkey", "s_name"],
+        "s_suppkey",
+    )
+
+
+def _q_ind_discovery_nary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Faida two-phase: HLL sketch prune per level, exact confirmation of
+    # survivors — result set identical to exact Mind (same oracle)
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.mind import discover_nary_inds
+
+    orders = _read(spark, sf_dir, "orders")
+    sample = orders.filter(F.col("o_orderkey") % 7 == 0)
+    cols = ["o_custkey", "o_orderpriority"]
+    return discover_nary_inds(
+        {"orders_sample": sample, "orders": orders},
+        {"orders_sample": cols, "orders": cols},
+        max_arity=2,
+        approx=True,
+    )
+
+
+# directors graph, transplanted from the reference fixture
+# test_input_data/graph_data/directors.dot (public test data)
+_DIRECTORS_DOT = """graph G {
+0[label="person" name="James Cameron" celebrity="high"];
+1[label="film" name="Avatar" success="high" year="2009"];
+2[label="film" name="Titanic" success="high" year="1997"];
+3[label="film" name="Piranha II" success="low" year="1981"];
+4[label="film" name="Terminator" success="high" year="1984"];
+5[label="person" name="Robert Zemeckis" celebrity="high"];
+6[label="film" name="The Walk" success="high" year="2015"];
+7[label="film" name="Back to the future" success="high" year="1985"];
+8[label="film" name="Forrest Gump" success="high" year="1994"];
+9[label="person" name="James Toback" celebrity="low"];
+10[label="film" name="Tyson" success="high" year="2008"];
+11[label="film" name="Fingers" success="high" year="1978"];
+0--1 [label="directed"];
+0--2 [label="directed"];
+0--3 [label="directed"];
+0--4 [label="directed"];
+5--6 [label="directed"];
+5--7 [label="directed"];
+5--8 [label="directed"];
+9--10 [label="directed"];
+9--11 [label="directed"];
+}"""
+
+_DIRECTORS_GFD = """0.celebrity=high
+1.success=high
+graph G {
+0[label=person];
+1[label=film];
+0--1 [label=directed];
+}"""
+
+_DIRECTORS_V_PATH = f"{_STAGE_ROOT}/directors_v"
+_DIRECTORS_E_PATH = f"{_STAGE_ROOT}/directors_e"
+
+
+def _staged_directors(spark: SparkSession):
+    import os
+
+    from desbordante_spark.sources.graph_dot import dot_graph_frames
+
+    if not (
+        os.path.exists(f"{_DIRECTORS_V_PATH}/_SUCCESS")
+        and os.path.exists(f"{_DIRECTORS_E_PATH}/_SUCCESS")
+    ):
+        v, e = dot_graph_frames(spark, _DIRECTORS_DOT)
+        v.write.mode("overwrite").parquet(_DIRECTORS_V_PATH)
+        e.write.mode("overwrite").parquet(_DIRECTORS_E_PATH)
+    return (
+        spark.read.parquet(_DIRECTORS_V_PATH),
+        spark.read.parquet(_DIRECTORS_E_PATH),
+    )
+
+
+def _q_gfd_dot_directors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-based GFD flow: .dot text -> vertex/edge frames (staged so the
+    # DuckDB oracle reads the same parquet) -> join-based verdict
+    from desbordante_spark.operators.gfd import gfd_metrics_df
+    from desbordante_spark.sources.graph_dot import parse_gfd_file
+
+    vertices, edges = _staged_directors(spark)
+    spec = parse_gfd_file(_DIRECTORS_GFD)
+    return gfd_metrics_df(
+        vertices, edges,
+        spec["pattern_vertices"], spec["pattern_edges"],
+        spec["premises"], spec["conclusion"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -779,6 +927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfd_order_customer": _q_gfd_order_customer,
         "dynamic_fd_orders": _q_dynamic_fd_orders,
         "quality_score_documents": _q_quality_score_documents,
+        "cfd_discovery_orders": _q_cfd_discovery_orders,
+        "od_discovery_auto_lineitem": _q_od_discovery_auto_lineitem,
+        "dd_discovery_supplier": _q_dd_discovery_supplier,
+        "ind_discovery_nary_approx": _q_ind_discovery_nary_approx,
+        "gfd_dot_directors": _q_gfd_dot_directors,
     }
 
 
@@ -1384,6 +1537,146 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def _cfd_discovery_oracle() -> str:
+    """Closed-form SQL for discover_cfds(orders, _CFD_COLS, minsup, minconf,
+    max_lhs=2): per candidate (lhs attr-set, constant subset, rhs attr) the
+    same three-level aggregation — value counts, per-wildcard-group best RHS
+    (window rn=1 ≡ Spark min(struct(-cnt, rv))), per-pattern
+    support/satisfied — then the minsup/minconf filter."""
+    from itertools import combinations
+
+    cols = sorted(_CFD_COLS)
+    ctes = [
+        "src AS (SELECT o_orderstatus, o_orderpriority,"
+        " substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year FROM orders)"
+    ]
+    branches = []
+    idx = 0
+    for k in (1, 2):
+        for s in combinations(cols, k):
+            for csize in range(0, k + 1):
+                for c in combinations(s, csize):
+                    cset = set(c)
+                    for b in cols:
+                        if b in s:
+                            continue
+                        pieces = [
+                            f"concat('{a}=', CAST({a} AS VARCHAR))"
+                            if a in cset else f"'{a}=_'"
+                            for a in s
+                        ]
+                        pat = (
+                            "concat_ws(' AND ', " + ", ".join(pieces) + ")"
+                            if len(pieces) > 1 else pieces[0]
+                        )
+                        var_attrs = [a for a in s if a not in cset]
+                        vk = (
+                            "concat_ws(chr(1), "
+                            + ", ".join(f"CAST({a} AS VARCHAR)"
+                                        for a in var_attrs)
+                            + ")"
+                            if var_attrs else "''"
+                        )
+                        nn = " AND ".join(
+                            f"{a} IS NOT NULL" for a in (*s, b)
+                        )
+                        is_const = int(len(c) == len(s))
+                        ctes.append(f"""
+c{idx} AS (SELECT {pat} AS pat, {vk} AS vk, CAST({b} AS VARCHAR) AS rv,
+                  count(*) AS cnt
+           FROM src WHERE {nn} GROUP BY 1, 2, 3),
+g{idx} AS (SELECT pat, vk, cnt, rv,
+                  sum(cnt) OVER (PARTITION BY pat, vk) AS gs,
+                  row_number() OVER (PARTITION BY pat, vk
+                                     ORDER BY cnt DESC, rv ASC) AS rn
+           FROM c{idx}),
+p{idx} AS (SELECT pat,
+                  CAST(sum(CASE WHEN rn = 1 THEN gs END) AS BIGINT)
+                    AS support,
+                  CAST(sum(CASE WHEN rn = 1 THEN cnt END) AS BIGINT)
+                    AS satisfied,
+                  min(CASE WHEN rn = 1 THEN rv END) AS best_rv
+           FROM g{idx} GROUP BY pat)""")
+                        rhs = (
+                            f"concat('{b}=', best_rv)"
+                            if is_const else f"'{b}=_'"
+                        )
+                        branches.append(f"""
+SELECT pat AS lhs_pattern, '{b}' AS rhs_attr, {rhs} AS rhs,
+       CAST({k} AS INT) AS lhs_size, support, satisfied,
+       CAST(satisfied AS DOUBLE) / CAST(support AS DOUBLE) AS confidence,
+       CAST({is_const} AS INT) AS is_constant_rhs
+FROM p{idx}
+WHERE support >= {_CFD_MINSUP}
+  AND CAST(satisfied AS DOUBLE) / CAST(support AS DOUBLE) >= {_CFD_MINCONF}""")
+                        idx += 1
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(branches)
+
+
+def _od_auto_oracle() -> str:
+    """Closed-form SQL for discover_ods_auto(lineitem charge view): every
+    (context ⊆ {l_returnflag, l_tax}, pair, asc) candidate is computed, then
+    the minimality filter — a candidate row is emitted only when NO proper
+    subset context holds for the same pair (pruned candidates are absent,
+    exactly as the levelwise miner evaluates them)."""
+    from itertools import combinations
+
+    ctx_pool = ["l_returnflag", "l_tax"]
+    pairs = [("charge", "l_extendedprice"), ("l_extendedprice", "charge")]
+    ctx_sets = [
+        tuple(c) for lvl in range(0, 3)
+        for c in combinations(ctx_pool, lvl)
+    ]
+    base = (
+        "base AS (SELECT l_returnflag, l_tax,"
+        " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,"
+        " CAST(l_extendedprice AS DOUBLE) * (1.0e0 + CAST(l_tax AS DOUBLE))"
+        " AS charge FROM lineitem)"
+    )
+    ctes = [base]
+    cand_id: dict[tuple, int] = {}
+    for i, (ctx, (a, b)) in enumerate(
+        [(ctx, p) for ctx in ctx_sets for p in pairs]
+    ):
+        cand_id[(ctx, a, b)] = i
+        part = ("PARTITION BY " + ", ".join(ctx) + " ") if ctx else ""
+        grp = ", ".join([*ctx, "av"])
+        sel = (", ".join(ctx) + ", ") if ctx else ""
+        ctes.append(f"""
+c{i} AS (
+  SELECT CAST(coalesce(sum(CASE WHEN pm > min_bv THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nsw,
+         CAST(count(*) AS BIGINT) AS tg
+  FROM (
+    WITH g AS (
+      SELECT {sel}{a} AS av, min({b}) AS min_bv, max({b}) AS max_bv
+      FROM base WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+      GROUP BY {grp})
+    SELECT *, max(max_bv) OVER ({part}ORDER BY av ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+    FROM g))""")
+    branches = []
+    for (ctx, a, b), i in cand_id.items():
+        subs = [
+            cand_id[(sub, a, b)]
+            for lvl in range(len(ctx))
+            for sub in combinations(ctx, lvl)
+        ]
+        where = (
+            "WHERE " + " AND ".join(f"(SELECT nsw FROM c{j}) > 0"
+                                    for j in subs)
+            if subs else ""
+        )
+        branches.append(f"""
+SELECT '{",".join(ctx)}' AS context, '{a}' AS lhs, '{b}' AS rhs,
+       'asc' AS direction, nsw AS num_swap_groups, tg AS total_groups,
+       CAST(CASE WHEN nsw <= 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM c{i} {where}""")
+    return "WITH " + ",".join(c for c in ctes) + " " \
+        + " UNION ALL ".join(branches)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ucc_violations_orders_custkey": (
@@ -1838,6 +2131,57 @@ FROM supplier a JOIN supplier b
  AND abs(CAST(a.s_acctbal AS DOUBLE) - CAST(b.s_acctbal AS DOUBLE)) <= 100.0
 WHERE NOT (abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
              BETWEEN 0.0 AND 5.0)
+""",
+        "cfd_discovery_orders": _cfd_discovery_oracle(),
+        "od_discovery_auto_lineitem": _od_auto_oracle(),
+        "dd_discovery_supplier": """
+WITH p AS (
+  SELECT abs(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))
+           AS d_nat,
+         CAST(levenshtein(a.s_name, b.s_name) AS DOUBLE) AS d_name
+  FROM supplier a JOIN supplier b
+    ON a.s_suppkey < b.s_suppkey
+   AND abs(CAST(a.s_acctbal AS DOUBLE) - CAST(b.s_acctbal AS DOUBLE)) <= 100.0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS num_pairs,
+             min(d_nat) AS lo_nat, max(d_nat) AS hi_nat,
+             min(d_name) AS lo_name, max(d_name) AS hi_name
+      FROM p)
+SELECT 's_nationkey' AS rhs_col, lo_nat AS lo, hi_nat AS hi, num_pairs,
+       CAST(CASE WHEN num_pairs >= 1 AND lo_nat IS NOT NULL
+            THEN 1 ELSE 0 END AS INT) AS holds
+FROM m
+UNION ALL
+SELECT 's_name', lo_name, hi_name, num_pairs,
+       CAST(CASE WHEN num_pairs >= 1 AND lo_name IS NOT NULL
+            THEN 1 ELSE 0 END AS INT)
+FROM m
+""",
+        "ind_discovery_nary_approx": _nary_ind_oracle(),
+        "gfd_dot_directors": f"""
+WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
+e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')
+      WHERE label = 'directed'),
+sym AS (SELECT src AS s, dst AS d FROM e
+        UNION SELECT dst AS s, src AS d FROM e),
+m AS (SELECT p.celebrity AS cel, f.success AS suc
+      FROM sym JOIN v p ON p.vertex_id = sym.s AND p.label = 'person'
+               JOIN v f ON f.vertex_id = sym.d AND f.label = 'film'
+      WHERE sym.s <> sym.d),
+a AS (SELECT CAST(count(*) AS BIGINT) AS total_matches,
+             CAST(coalesce(sum(CASE WHEN cel = 'high' THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS premise_matches,
+             CAST(coalesce(sum(CASE WHEN cel = 'high'
+                                AND (suc IS NULL OR suc <> 'high')
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS num_violations
+      FROM m)
+SELECT total_matches, premise_matches, num_violations,
+       CASE WHEN premise_matches > 0
+            THEN CAST(num_violations AS DOUBLE)
+                 / CAST(premise_matches AS DOUBLE)
+            ELSE 0.0 END AS error,
+       CAST(CASE WHEN num_violations = 0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM a
 """,
     }
 
