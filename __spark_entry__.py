@@ -461,6 +461,20 @@ def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_discovery_hybrid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyFD-style hybrid miner (discovery/hyfd.py): sampled negative cover
+    # + batched validation — must produce the SAME minimal-FD set as the
+    # levelwise miner, so it shares fd_discovery_orders' oracle
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+
+    fds = discover_fds_hybrid(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
 _AFD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 _OD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice"]
 
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_discovery_supplier": _q_dd_discovery_supplier,
         "ind_discovery_nary_approx": _q_ind_discovery_nary_approx,
         "gfd_dot_directors": _q_gfd_dot_directors,
+        "fd_discovery_hybrid_orders": _q_fd_discovery_hybrid_orders,
     }
 
 
@@ -2157,6 +2172,7 @@ SELECT 's_name', lo_name, hi_name, num_pairs,
 FROM m
 """,
         "ind_discovery_nary_approx": _nary_ind_oracle(),
+        "fd_discovery_hybrid_orders": _fd_minimal_oracle(),
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')

@@ -214,19 +214,37 @@ def main() -> None:
     total = round(headline_sec + suite_sec, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "validation_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "docs_per_sec": round(N_BENCH_DOCS / suite_sec, 1),
-                "n_bench_docs": N_BENCH_DOCS,
-            }
-        )
+    out = {
+        "metric": "validation_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(N_BENCH_DOCS / suite_sec, 1),
+        "n_bench_docs": N_BENCH_DOCS,
+    }
+    # authoritative doc-suite throughput: the ≥8M-doc two-parallelism run
+    # (tools/scaling_bench.py → BENCH_SCALING.json). The 200k-doc local[32]
+    # numbers above are a smoke-scale tripwire that whipsaws on host noise;
+    # the embedded large-run numbers are the round-over-round comparison.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
     )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                s = json.load(f)
+            out["doc_suite_large"] = {
+                "n_docs": s["n_docs"],
+                "parallelism_N": s["parallelism_N"],
+                "parallelism_4N": s["parallelism_4N"],
+                "docs_per_sec_N": s["docs_per_sec_N"],
+                "docs_per_sec_4N": s["docs_per_sec_4N"],
+                "scaling_efficiency": s["scaling_efficiency"],
+            }
+        except (KeyError, ValueError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,12 @@
-"""Conditional FDs — mirrors /root/reference/examples/mining_cfd.py
-semantics on the verification side: a pattern tableau of constant/wildcard
-rows with per-pattern support and confidence (cfd_minsup / cfd_minconf)."""
+"""Conditional FDs — mirrors /root/reference/examples/mining_cfd.py: MINE
+itemset CFD rules with cfd_minsup / cfd_minconf / cfd_max_lhs (FDFirst
+most-frequent-RHS semantics), then verify a pattern tableau."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from desbordante_spark.discovery.cfd_miner import discover_cfds
 from desbordante_spark.operators.cfd import (
     cfd_tableau_metrics_df,
     cfd_tableau_verify,
@@ -12,6 +15,22 @@ from desbordante_spark.operators.cfd import (
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # --- discovery (reference: algo.execute(cfd_minsup=..., cfd_minconf=...,
+    # cfd_max_lhs=...); result = algo.get_cfds()) ---
+    mined = discover_cfds(
+        orders.select(
+            "o_orderstatus", "o_orderpriority",
+            F.col("o_orderdate").cast("string").substr(1, 4).alias("o_year"),
+        ),
+        ["o_orderstatus", "o_orderpriority", "o_year"],
+        min_support=20, min_confidence=0.8, max_lhs=2,
+    ).orderBy(F.col("confidence").desc(), "lhs_pattern").collect()
+    print(f"{len(mined)} CFD rules (minsup=20, minconf=0.8, max_lhs=2); "
+          "first five:")
+    for r in mined[:5]:
+        print(f"  ({r['lhs_pattern']}) -> {r['rhs']}  "
+              f"support={r['support']} confidence={r['confidence']:.4f}")
     tableau = [
         {"o_orderstatus": "F"},
         {"o_orderstatus": "O"},

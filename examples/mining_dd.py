@@ -1,14 +1,30 @@
-"""Differential dependencies — mirrors /root/reference/examples/mining_dd.py
-on the verification side: rows close on the LHS attribute must be close on
-the RHS (banded equi-self-join, never a cross join)."""
+"""Differential dependencies — mirrors /root/reference/examples/mining_dd.py:
+MINE the RHS difference bounds over the qualifying pairs (Split), then
+verify (banded equi-self-join, never a cross join)."""
 
 from __future__ import annotations
 
+from desbordante_spark.discovery.split import dd_build_rhs_ranges, discover_dds
 from desbordante_spark.operators.dd import dd_verify, dd_violations
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    # --- discovery (reference Split: mine difference functions) ---
+    mined = discover_dds(
+        supplier, {"s_acctbal": (0.0, 100.0)}, ["s_nationkey", "s_name"],
+        row_id="s_suppkey",
+    ).collect()
+    print("mined DDs for |Δs_acctbal| <= 100:")
+    for r in mined:
+        print(f"  -> |Δ{r['rhs_col']}| ∈ [{r['lo']}, {r['hi']}] "
+              f"({r['num_pairs']} pairs, holds={bool(r['holds'])})")
+    ranges = dd_build_rhs_ranges(
+        supplier, {"s_acctbal": (0.0, 100.0)}, "s_nationkey",
+        row_id="s_suppkey",
+    )
+    print(f"gap-split RHS intervals for s_nationkey: {ranges}")
     # "suppliers with account balances within 100 must be within 5 nations"
     res = dd_verify(
         supplier, {"s_acctbal": (0.0, 100.0)}, "s_nationkey", 0.0, 5.0,

@@ -41,6 +41,19 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
         print(f"  order {r['o__id']} (status F) -> customer {r['c__id']} "
               f"(segment {r['c__c_mktsegment']})")
 
+    # --- file-based flow (reference parser: .dot graph + GFD file) ---
+    import os
+
+    graph = "/root/reference/test_input_data/graph_data/directors.dot"
+    gfd = "/root/reference/test_input_data/graph_data/directors_gfd.dot"
+    if os.path.exists(graph):
+        from desbordante_spark.sources.graph_dot import verify_gfd_files
+
+        r2 = verify_gfd_files(spark, graph, gfd)
+        print(f"directors.dot GFD holds: {r2.holds} "
+              f"({r2.num_violating_rows} violating embedding(s) of "
+              f"{r2.details['premise_matches']})")
+
 
 if __name__ == "__main__":
     from desbordante_spark.session import get_spark

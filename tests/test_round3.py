@@ -386,3 +386,60 @@ def test_runner_checkpoint_corrupt_fails_loudly(spark, tmp_path):
     # missing path (first run) still yields the empty frame
     r2 = SuiteRunner(spark, str(tmp_path / "fresh"), "snap1")
     assert r2.read_metrics().count() == 0
+
+
+# ---------------------------------------------- HyFD hybrid FD discovery
+
+def test_hyfd_matches_tane_small(spark):
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    rows = [(i % 1000, i // 1000, (i % 1000) * 2, i % 7, "k")
+            for i in range(1100)]
+    df = spark.createDataFrame(rows, "x int, y int, z int, w int, c string") \
+        .cache()
+    assert discover_fds_hybrid(df, max_lhs=2) == discover_fds(df, max_lhs=2)
+
+
+def test_hyfd_matches_tane_testfd(spark, testfd):
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    cols = [c for c in testfd.columns if c != "row_id"]
+    assert (discover_fds_hybrid(testfd, cols, max_lhs=2)
+            == discover_fds(testfd, cols, max_lhs=2))
+
+
+def test_hyfd_wide_table(spark):
+    # 14 columns: the full level-2 lattice is ~1.2k candidates; the sampled
+    # negative cover must leave the same exact result set
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    base = spark.range(600).withColumnRenamed("id", "c0")
+    df = base
+    for i in range(1, 14):
+        df = df.withColumn(f"c{i}", (F.col("c0") * (i + 3)) % (7 * i + 2))
+    df = df.cache()
+    got = discover_fds_hybrid(df, max_lhs=2, max_agree_sets=500)
+    want = discover_fds(df, max_lhs=2)
+    assert got == want
+
+
+def test_sample_agree_sets_sound(spark):
+    from desbordante_spark.discovery.hyfd import sample_agree_sets
+
+    rows = [(1, "a", 10), (1, "a", 20), (2, "b", 10), (2, "c", 10)]
+    df = spark.createDataFrame(rows, "g int, s string, v int")
+    sets = sample_agree_sets(df, ["g", "s", "v"])
+    # every reported agree set must be witnessed by a real row pair
+    for aset, cnt in sets:
+        assert cnt > 0
+        found = any(
+            all((a[i] == b[i]) == (c in aset)
+                for i, c in enumerate(["g", "s", "v"]))
+            for a in rows for b in rows if a != b
+        )
+        assert found, aset

@@ -124,6 +124,17 @@ Per-stage seconds:
     md += (
         "\nRegenerate: `python tools/scaling_bench.py`.\n"
         "Raw numbers: `BENCH_SCALING.json`.\n"
+        "\n## spans.text decode share (wellformed scan)\n\n"
+        "The span invariant semantically requires text-EMPTINESS (`text`\n"
+        "non-empty iff kind='text'), so nested-schema pruning cannot drop\n"
+        "`spans.text` from the parquet read without changing semantics.\n"
+        "Measured cost (1M docs, local[8], warmup + min-of-3): full\n"
+        "invariant 1.58s vs text-free variant (offset/kind/media_ref only)\n"
+        "1.13s — the text decode is ~29% of the stage. At production scale\n"
+        "the right fix is schema-side: materialize a per-span `text_len`\n"
+        "int in the Iceberg table (or a sidecar column) so the emptiness\n"
+        "clause reads 4 bytes/span instead of the string bulk; the engine\n"
+        "supports this today by passing a pre-projected frame.\n"
     )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
