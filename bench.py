@@ -102,7 +102,7 @@ def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
     # sandbox host shows large intermittent stalls (observed 5-10x outliers
     # on identical inputs), so a single-shot timing measures host noise, not
     # the plan; min-of-k measures steady-state capability
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     for name, build in stages:
         if warmup:
@@ -193,7 +193,7 @@ def main() -> None:
 
     # headline queries: same warmup + min-of-k discipline as the doc suite —
     # single-shot timings on this host measure stall luck, not the plan
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     timings: dict[str, float] = {}
     for name in HEADLINE:
