@@ -461,6 +461,41 @@ def _q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUCC_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+_AUCC_MAX_ERR = 0.005
+
+
+def _q_aucc_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PyroUCC-style AUCC miner (discovery/aucc.py): minimal column sets with
+    # equal-pair error <= 0.005, levelwise, one batched job per level
+    from desbordante_spark.discovery.aucc import discover_auccs
+
+    auccs = discover_auccs(
+        _read(spark, sf_dir, "orders").select(*_AUCC_COLS),
+        max_size=2, max_error=_AUCC_MAX_ERR,
+    )
+    return spark.createDataFrame(
+        [(",".join(s), e) for s, e in auccs], "aucc string, error double"
+    )
+
+
+def _q_afd_discovery_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pyro-style two-phase AFD discovery: estimate on a 50% sample, exact
+    # confirm of plausible candidates — same result set as the exact miner,
+    # so it shares afd_discovery_orders' oracle
+    from desbordante_spark.discovery.pfdtane import discover_afds
+
+    afds = discover_afds(
+        _read(spark, sf_dir, "orders").select(*_AFD_COLS),
+        max_lhs=2, max_error=0.3, error_measure="per_tuple",
+        sample_fraction=0.5,
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs, err) for lhs, rhs, err in afds],
+        "lhs string, rhs string, error double",
+    )
+
+
 def _q_fd_discovery_hybrid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyFD-style hybrid miner (discovery/hyfd.py): sampled negative cover
     # + batched validation — must produce the SAME minimal-FD set as the
@@ -947,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_discovery_nary_approx": _q_ind_discovery_nary_approx,
         "gfd_dot_directors": _q_gfd_dot_directors,
         "fd_discovery_hybrid_orders": _q_fd_discovery_hybrid_orders,
+        "aucc_discovery_orders": _q_aucc_discovery_orders,
+        "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
     }
 
 
@@ -1550,6 +1587,50 @@ FROM (
   FROM m)
 """)
     return " UNION ALL ".join(parts)
+
+
+def _aucc_discovery_oracle() -> str:
+    """Closed-form SQL for discover_auccs(orders[_AUCC_COLS], max_size=2,
+    max_error): singletons qualify on error ≤ t; a pair is EVALUATED only
+    when both members failed (the levelwise generator) and qualifies on its
+    own error. error = Σc(c−1)/(n(n−1)) with exact BIGINT pair sums."""
+    from itertools import combinations
+
+    cols = sorted(_AUCC_COLS)
+    t = f"{_AUCC_MAX_ERR}e0"  # e0 → DOUBLE literal (plain parses as DECIMAL)
+
+    def ep(cs: tuple[str, ...]) -> str:
+        return "ep_" + "__".join(cs)
+
+    ctes = ["n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)"]
+    sets = [(c,) for c in cols] + list(combinations(cols, 2))
+    for s in sets:
+        grp = ", ".join(s)
+        ctes.append(
+            f"{ep(s)} AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1)), 0) "
+            f"AS BIGINT) AS ep FROM (SELECT count(*) AS cnt FROM orders "
+            f"GROUP BY {grp}))"
+        )
+
+    def err(s: tuple[str, ...]) -> str:
+        return (
+            f"(SELECT CAST(ep AS DOUBLE) FROM {ep(s)})"
+            f" / (SELECT CAST(n * (n - 1) AS DOUBLE) FROM n)"
+        )
+
+    selects = []
+    for c in cols:
+        selects.append(
+            f"SELECT '{c}' AS aucc, {err((c,))} AS error FROM n"
+            f" WHERE {err((c,))} <= {t}"
+        )
+    for x, y in combinations(cols, 2):
+        selects.append(
+            f"SELECT '{x},{y}' AS aucc, {err((x, y))} AS error FROM n"
+            f" WHERE {err((x, y))} <= {t}"
+            f" AND {err((x,))} > {t} AND {err((y,))} > {t}"
+        )
+    return "WITH " + ",\n".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 def _cfd_discovery_oracle() -> str:
@@ -2173,6 +2254,8 @@ FROM m
 """,
         "ind_discovery_nary_approx": _nary_ind_oracle(),
         "fd_discovery_hybrid_orders": _fd_minimal_oracle(),
+        "aucc_discovery_orders": _aucc_discovery_oracle(),
+        "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')

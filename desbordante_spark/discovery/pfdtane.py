@@ -94,20 +94,52 @@ def discover_afds(
     max_lhs: int = 2,
     max_error: float = 0.05,
     error_measure: str = "per_tuple",
+    sample_fraction: float | None = None,
+    sample_margin: float = 0.05,
 ) -> list[tuple[tuple[str, ...], str, float]]:
     """All minimal AFDs ``X -> A`` with error ≤ ``max_error`` and
     ``|X| <= max_lhs``. Returns sorted ``[(lhs_tuple, rhs, error), ...]``;
     near-constant columns yield ``() -> A`` (the trivial one-cluster case).
+
+    ``sample_fraction`` enables Pyro-style two-phase scoring (reference
+    fd/pyro/pyro.h:13-31 — sample-based error estimation before exact
+    checks): each level's candidates are first scored on a row sample (same
+    batched job, far less data) and only candidates whose ESTIMATED error is
+    ≤ ``max_error + sample_margin`` get the exact pass. Every reported AFD
+    carries an exact error; the (documented) probabilistic risk is pruning a
+    true AFD whose sample estimate exceeded the margin.
     """
     if error_measure not in ("per_tuple", "per_value"):
         raise ValueError(f"unknown error_measure {error_measure!r}")
     cols = sorted(columns or df.columns)
     afds: list[tuple[tuple[str, ...], str, float]] = []
     found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
+    sample = (
+        df.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction is not None and sample_fraction < 1.0
+        else None
+    )
+
+    def score(cands: list[tuple[tuple[str, ...], str]]) -> dict[int, float]:
+        """Exact scores for all candidates; with a sample, estimate first
+        and exact-score only the plausible ones (others get inf)."""
+        if sample is None:
+            return _score_level(df, cands, error_measure)
+        est = _score_level(sample, cands, error_measure)
+        todo = [i for i in range(len(cands))
+                if est.get(i, 0.0) <= max_error + sample_margin]
+        exact = (
+            _score_level(df, [cands[i] for i in todo], error_measure)
+            if todo else {}
+        )
+        out = {i: float("inf") for i in range(len(cands))}
+        for j, i in enumerate(todo):
+            out[i] = exact[j]
+        return out
 
     # level 0: ∅ -> A (single cluster; error = non-modal fraction)
     lvl0 = [((), a) for a in cols]
-    scores = _score_level(df, lvl0, error_measure)
+    scores = score(lvl0)
     for i, ((_, a)) in enumerate(lvl0):
         if scores[i] <= max_error:
             afds.append(((), a, scores[i]))
@@ -127,7 +159,7 @@ def discover_afds(
                 cands.append((s, a))
         if not cands:
             break
-        scores = _score_level(df, cands, error_measure)
+        scores = score(cands)
         for i, (s, a) in enumerate(cands):
             if scores[i] <= max_error:
                 afds.append((s, a, scores[i]))

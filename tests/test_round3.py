@@ -443,3 +443,57 @@ def test_sample_agree_sets_sound(spark):
             for a in rows for b in rows if a != b
         )
         assert found, aset
+
+
+# ----------------------------------------- PyroUCC / Pyro-style miners
+
+def test_discover_auccs_bruteforce(spark):
+    from desbordante_spark.discovery.aucc import discover_auccs
+
+    rows = [(i % 20, i % 3, f"v{i % 19}") for i in range(40)]
+    df = spark.createDataFrame(rows, "a int, b int, c string").cache()
+    got = dict(discover_auccs(df, ["a", "b", "c"], max_size=2,
+                              max_error=0.02))
+
+    def err(*idx):
+        n = len(rows)
+        groups = Counter(tuple(r[i] for i in idx) for r in rows)
+        return sum(c * (c - 1) for c in groups.values()) / (n * (n - 1))
+
+    cols = {"a": 0, "b": 1, "c": 2}
+    singles = {c: err(i) for c, i in cols.items()}
+    expect = {}
+    for c, e in singles.items():
+        if e <= 0.02:
+            expect[(c,)] = e
+    for x, y in combinations(sorted(cols), 2):
+        if singles[x] > 0.02 and singles[y] > 0.02:
+            e = err(cols[x], cols[y])
+            if e <= 0.02:
+                expect[(x, y)] = e
+    assert got == pytest.approx(expect)
+
+
+def test_discover_auccs_sampled_equals_exact(spark):
+    from desbordante_spark.discovery.aucc import discover_auccs
+
+    rows = [(i, i % 7, i % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, m int, p int").cache()
+    exact = discover_auccs(df, max_size=2, max_error=0.01)
+    sampled = discover_auccs(df, max_size=2, max_error=0.01,
+                             sample_fraction=0.5)
+    assert exact == sampled
+    assert (("k",), 0.0) in exact  # the key column, error 0
+
+
+def test_discover_afds_sampled_equals_exact(spark):
+    from desbordante_spark.discovery.pfdtane import discover_afds
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    exact = discover_afds(orders, max_lhs=2, max_error=0.3,
+                          error_measure="per_tuple")
+    sampled = discover_afds(orders, max_lhs=2, max_error=0.3,
+                            error_measure="per_tuple", sample_fraction=0.5)
+    assert exact == sampled  # exact errors reported in both paths
