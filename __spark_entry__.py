@@ -510,6 +510,21 @@ def _q_fd_discovery_hybrid_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_fd_discovery_fdep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FDep/FastFDs-family miner (discovery/fdep.py): complete agree-set
+    # cover via subset pair-counts + Möbius inversion (no pair stream),
+    # then driver-side negative-cover inversion — must produce the SAME
+    # minimal-FD set as the levelwise miner, so it shares the oracle
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+
+    fds = discover_fds_fdep(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
 _AFD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 _OD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice"]
 
@@ -984,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_hybrid_orders": _q_fd_discovery_hybrid_orders,
         "aucc_discovery_orders": _q_aucc_discovery_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
+        "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
     }
 
 
@@ -2256,6 +2272,7 @@ FROM m
         "fd_discovery_hybrid_orders": _fd_minimal_oracle(),
         "aucc_discovery_orders": _aucc_discovery_oracle(),
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
+        "fd_discovery_fdep_orders": _fd_minimal_oracle(),
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')

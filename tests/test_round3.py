@@ -497,3 +497,52 @@ def test_discover_afds_sampled_equals_exact(spark):
     sampled = discover_afds(orders, max_lhs=2, max_error=0.3,
                             error_measure="per_tuple", sample_fraction=0.5)
     assert exact == sampled  # exact errors reported in both paths
+
+
+# ----------------------------------------- FDep-family (agree-set factory)
+
+def test_compute_agree_sets_bruteforce(spark):
+    from desbordante_spark.discovery.fdep import compute_agree_sets
+
+    rows = [
+        (1, "a", 10, None), (1, "a", 20, None), (2, "b", 10, "x"),
+        (2, "c", 10, "x"), (3, "c", 30, "x"), (1, "a", 10, None),
+    ]
+    cols = ["g", "s", "v", "t"]
+    df = spark.createDataFrame(rows, "g int, s string, v int, t string")
+    got, n = compute_agree_sets(df, cols)
+    assert n == len(rows)
+    expect = Counter()
+    for a, b in combinations(rows, 2):
+        aset = frozenset(c for i, c in enumerate(cols) if a[i] == b[i])
+        if aset:
+            expect[aset] += 1
+    assert dict(got) == dict(expect)
+
+
+def test_discover_fds_fdep_equals_tane(spark):
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+    from desbordante_spark.discovery.tane import discover_fds
+
+    # constants, keys, duplicates, nulls, and a real FD (d = f(b))
+    rows = [(i, i % 4, "const", f"v{(i % 4) * 2}", i % 2) for i in range(24)]
+    rows += [rows[0]]  # duplicate row: no column set is a key
+    df = spark.createDataFrame(rows, "a int, b int, c string, d string, e int")
+    assert discover_fds_fdep(df, max_lhs=2) == discover_fds(df, max_lhs=2)
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert discover_fds_fdep(orders, max_lhs=2) == discover_fds(
+        orders, max_lhs=2
+    )
+
+
+def test_fdep_wide_table_guard(spark):
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+
+    df = spark.createDataFrame(
+        [tuple(range(20))], ", ".join(f"c{i} int" for i in range(20))
+    )
+    with pytest.raises(ValueError, match="discover_fds_hybrid"):
+        discover_fds_fdep(df, max_columns=16)
