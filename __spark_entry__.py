@@ -525,6 +525,20 @@ def _q_fd_discovery_fdep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_discovery_dfd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DFD random-walk miner (discovery/dfd.py): lockstep walks, one batched
+    # cardinality job per round, subset/superset inference — exact, so it
+    # shares the minimal-FD oracle
+    from desbordante_spark.discovery.dfd import discover_fds_dfd
+
+    fds = discover_fds_dfd(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
 _AFD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 _OD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice"]
 
@@ -1000,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aucc_discovery_orders": _q_aucc_discovery_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
+        "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
     }
 
 
@@ -2273,6 +2288,7 @@ FROM m
         "aucc_discovery_orders": _aucc_discovery_oracle(),
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
+        "fd_discovery_dfd_orders": _fd_minimal_oracle(),
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')

@@ -1,0 +1,184 @@
+"""DFD FD discovery — random-walk lattice traversal, Spark-batched.
+
+Reference: DFD (Abedjan et al., CIKM'14) finds all minimal FDs per RHS by
+RANDOM WALKS over the LHS powerset lattice instead of levelwise sweeps:
+a node found to be a dependency classifies all its supersets (non-minimal),
+a non-dependency classifies all its subsets, and the walk flips direction
+on every classification — on lattices where dependencies sit at mixed
+depths this touches far fewer nodes than TANE
+(/root/reference/src/core/algorithms/fd/dfd/, ~1,161 LoC; traversal
+`dfd.cpp`, node classification via partition cardinality like TANE).
+
+Spark-first adaptation — the walk is driver bookkeeping, the data work is
+batched: every RHS's walk advances in LOCKSTEP, and each round the nodes
+that genuinely need a partition-cardinality check (across ALL walks) go
+into ONE ``distinct_counts`` job (the TANE/HyFD primitive — a single scan
+per round, not one job per node). Classification inference (dep ⇒
+supersets dep, non-dep ⇒ subsets non-dep) runs between rounds, so the
+number of rounds is the longest single walk, not the lattice size, and the
+number of scanned nodes matches DFD's visit count. The RNG is seeded —
+results are deterministic AND exact (every reported FD passed an exact
+cardinality equality; inference only reorders work).
+
+Output contract identical to ``tane.discover_fds`` / ``hyfd`` / ``fdep``:
+minimal FDs only, constant columns as ``∅ → a``, superkey LHS suppressed.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+
+from desbordante_spark.discovery.tane import distinct_counts
+
+__all__ = ["discover_fds_dfd"]
+
+_DEP = 1
+_NONDEP = 2
+
+
+class _Walk:
+    """Per-RHS random walk state over LHS nodes (frozensets)."""
+
+    def __init__(self, rhs: str, lhs_cols: list[str], max_lhs: int,
+                 rng: random.Random) -> None:
+        self.rhs = rhs
+        self.cols = lhs_cols
+        self.max_lhs = max_lhs
+        self.rng = rng
+        self.status: dict[frozenset[str], int] = {}
+        self.unclassified: set[frozenset[str]] = set()
+        stack = [frozenset({c}) for c in lhs_cols]
+        seen = set(stack)
+        while stack:
+            node = stack.pop()
+            self.unclassified.add(node)
+            if len(node) < max_lhs:
+                for c in lhs_cols:
+                    if c not in node:
+                        child = node | {c}
+                        if child not in seen:
+                            seen.add(child)
+                            stack.append(child)
+        self.current: frozenset[str] | None = None
+
+    def classify(self, node: frozenset[str], cls: int) -> None:
+        """Set a node's class and propagate DFD's inference rules."""
+        todo = [node]
+        while todo:
+            x = todo.pop()
+            if x not in self.unclassified:
+                continue
+            self.unclassified.discard(x)
+            self.status[x] = cls
+            if cls == _DEP and len(x) < self.max_lhs:
+                todo.extend(
+                    x | {c} for c in self.cols if c not in x
+                )
+            elif cls == _NONDEP and len(x) > 1:
+                todo.extend(x - {c} for c in x)
+
+    def next_node(self) -> frozenset[str] | None:
+        """Walk step: from the last classified node move down (dep) or up
+        (non-dep) to a random unclassified neighbor; restart the walk at a
+        random unclassified node when stuck."""
+        cur = self.current
+        if cur is not None and cur in self.status:
+            if self.status[cur] == _DEP:
+                nbrs = [cur - {c} for c in cur if len(cur) > 1]
+            else:
+                nbrs = [
+                    cur | {c}
+                    for c in self.cols
+                    if c not in cur and len(cur) < self.max_lhs
+                ]
+            nbrs = [nb for nb in nbrs if nb in self.unclassified]
+            if nbrs:
+                self.current = self.rng.choice(nbrs)
+                return self.current
+        if not self.unclassified:
+            self.current = None
+            return None
+        self.current = self.rng.choice(sorted(self.unclassified,
+                                              key=sorted))
+        return self.current
+
+
+def discover_fds_dfd(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_lhs: int = 2,
+    seed: int = 42,
+    stats: dict | None = None,
+) -> list[tuple[tuple[str, ...], str]]:
+    """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` via DFD's
+    random-walk traversal — identical output to ``tane.discover_fds``.
+
+    Pass ``stats={}`` to receive ``{"checked_nodes", "rounds",
+    "lattice_nodes"}`` — the concrete evidence of how much of the lattice
+    the walk skipped."""
+    cols = sorted(columns or df.columns)
+    rng = random.Random(seed)
+    n = df.count()
+
+    # level-0/key groundwork: singleton cardinalities (one batched job)
+    cd: dict[tuple[str, ...], int] = dict(
+        distinct_counts(df, [(c,) for c in cols], exact=True)
+    )
+    constant = {c for c in cols if cd[(c,)] <= 1}
+    fds: list[tuple[tuple[str, ...], str]] = [
+        ((), c) for c in sorted(constant)
+    ]
+    lhs_pool = [c for c in cols if c not in constant]
+
+    walks = [
+        _Walk(a, [c for c in lhs_pool if c != a], max_lhs, rng)
+        for a in cols
+        if a not in constant
+    ]
+    checked = 0
+    rounds = 0
+    lattice = sum(len(w.unclassified) for w in walks)
+    while any(w.unclassified for w in walks):
+        rounds += 1
+        picks: dict[str, frozenset[str]] = {}
+        need: set[tuple[str, ...]] = set()
+        for w in walks:
+            node = w.next_node()
+            if node is None:
+                continue
+            picks[w.rhs] = node
+            s = tuple(sorted(node))
+            if s not in cd:
+                need.add(s)
+            ext = tuple(sorted(node | {w.rhs}))
+            if ext not in cd:
+                need.add(ext)
+        if not picks:
+            break
+        cd.update(distinct_counts(df, sorted(need), exact=True))
+        for w in walks:
+            node = picks.get(w.rhs)
+            if node is None:
+                continue
+            checked += 1
+            s = tuple(sorted(node))
+            ext = tuple(sorted(node | {w.rhs}))
+            w.classify(node, _DEP if cd[s] == cd[ext] else _NONDEP)
+
+    # minimal dependencies; superkey LHS suppressed (TANE parity)
+    for w in walks:
+        deps = [x for x, cls in w.status.items() if cls == _DEP]
+        for x in deps:
+            if any(y < x for y in deps):
+                continue
+            s = tuple(sorted(x))
+            if cd.get(s) == n:
+                continue
+            fds.append((s, w.rhs))
+    if stats is not None:
+        stats["checked_nodes"] = checked
+        stats["rounds"] = rounds
+        stats["lattice_nodes"] = lattice
+    return sorted(fds)

@@ -546,3 +546,27 @@ def test_fdep_wide_table_guard(spark):
     )
     with pytest.raises(ValueError, match="discover_fds_hybrid"):
         discover_fds_fdep(df, max_columns=16)
+
+
+# ----------------------------------------- DFD random-walk discovery
+
+def test_discover_fds_dfd_equals_tane(spark):
+    from desbordante_spark.discovery.dfd import discover_fds_dfd
+    from desbordante_spark.discovery.tane import discover_fds
+
+    rows = [(i, i % 4, "const", f"v{(i % 4) * 2}", i % 2) for i in range(24)]
+    rows += [rows[0]]
+    df = spark.createDataFrame(rows, "a int, b int, c string, d string, e int")
+    st = {}
+    assert discover_fds_dfd(df, max_lhs=2, stats=st) == discover_fds(
+        df, max_lhs=2
+    )
+    assert 0 < st["checked_nodes"] <= st["lattice_nodes"]
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    tane = discover_fds(orders, max_lhs=2)
+    # exact and deterministic under any seed
+    assert discover_fds_dfd(orders, max_lhs=2, seed=1) == tane
+    assert discover_fds_dfd(orders, max_lhs=2, seed=99) == tane
