@@ -306,6 +306,19 @@ def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_near_dup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full MinHash-LSH near-dup pipeline (operators/dedup.py): 2-word
+    # shingles → 8 md5 min-hashes → 4 bands → bucket pairs (cap 200) →
+    # exact Jaccard ≥ 0.5 — every stage md5-reproducible in the oracle
+    from desbordante_spark.operators.dedup import near_duplicates
+
+    return near_duplicates(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, num_hashes=8, bands=4, shingle_words=2,
+        max_bucket=200,
+    )
+
+
 def _q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
+        "near_dup_minhash_documents": _q_near_dup_minhash_documents,
     }
 
 
@@ -1664,6 +1678,76 @@ def _aucc_discovery_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
+def _near_dup_minhash_oracle() -> str:
+    """Closed-form SQL for near_duplicates(documents, threshold=0.5,
+    num_hashes=8, bands=4, shingle_words=2, max_bucket=200): 2-word
+    shingles (Spark slice semantics: when a doc has <2 tokens the single
+    token is the shingle), per-doc min of md5('s<j>:'||shingle), band hash
+    md5(mh_{2b}||'|'||mh_{2b+1}), bucket pairs with 2 ≤ bucket ≤ 200,
+    exact Jaccard from shingle-set joins."""
+    mh = ", ".join(
+        f"min(md5('s{j}:' || shingle)) AS mh{j}" for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx,"
+        f" md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                 i -> array_to_string(t[i:i+1], ' ')))
+             AS shingle
+    FROM toks
+  ) WHERE shingle <> ''
+),
+sigs AS (SELECT id, {mh} FROM sh GROUP BY id),
+bandrows AS ({bands}),
+bsz AS (SELECT band_idx, band_hash, count(*) AS n
+        FROM bandrows GROUP BY band_idx, band_hash),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bandrows a
+  JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.id < b.id
+  JOIN bsz s ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+  WHERE s.n BETWEEN 2 AND 200
+),
+sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.id = p.id_a
+  JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST(sa.set_size AS BIGINT) AS size_a,
+       CAST(sb.set_size AS BIGINT) AS size_b,
+       CAST(coalesce(i.inter, 0) AS DOUBLE)
+         / CAST(sa.set_size + sb.set_size - coalesce(i.inter, 0) AS DOUBLE)
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+      / CAST(sa.set_size + sb.set_size - coalesce(i.inter, 0) AS DOUBLE)
+      >= 0.5e0
+"""
+
+
 def _cfd_discovery_oracle() -> str:
     """Closed-form SQL for discover_cfds(orders, _CFD_COLS, minsup, minconf,
     max_lhs=2): per candidate (lhs attr-set, constant subset, rhs attr) the
@@ -2289,6 +2373,7 @@ FROM m
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
         "fd_discovery_dfd_orders": _fd_minimal_oracle(),
+        "near_dup_minhash_documents": _near_dup_minhash_oracle(),
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')
