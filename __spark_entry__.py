@@ -933,6 +933,48 @@ graph G {
 0--1 [label=directed];
 }"""
 
+_TYPOS_PATH = f"{_STAGE_ROOT}/typos_cities"
+
+
+def _staged_typos(spark: SparkSession) -> DataFrame:
+    """Deterministic (city, country) table with injected near-miss typos:
+    per city a dominant country spelling plus minority variants at edit
+    distance 1-2 (typos), one variant beyond radius, and one cluster whose
+    majority is under the ratio threshold (excluded by the pipeline)."""
+    import os
+
+    if not os.path.exists(f"{_TYPOS_PATH}/_SUCCESS"):
+        rows = []
+        spec = [
+            # city, majority, [(variant, count), ...], majority_count
+            ("berlin", "Germany", [("Germny", 3), ("Gernany", 2)], 40),
+            ("paris", "France", [("Frnace", 4), ("Franse", 1)], 35),
+            ("tokyo", "Japan", [("Japam", 2), ("Sweden", 3)], 30),
+            ("lyon", "France", [], 20),
+            # no clear majority: 10 vs 9 of 19 rows -> proportion < 0.6
+            ("split", "Croatia", [("Croatia2", 9)], 10),
+        ]
+        for city, major, variants, mcount in spec:
+            rows += [(city, major)] * mcount
+            for val, cnt in variants:
+                rows += [(city, val)] * cnt
+        spark.createDataFrame(
+            rows, "city string, country string"
+        ).coalesce(1).write.mode("overwrite").parquet(_TYPOS_PATH)
+    return spark.read.parquet(_TYPOS_PATH)
+
+
+def _q_typo_candidates_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TypoMiner pipeline (pipelines/typo_miner.py): FD city->country holds
+    # approximately; minority spellings within 2 edits of the cluster
+    # majority (holding >= 60% of rows) are typo candidates
+    from desbordante_spark.pipelines.typo_miner import find_typo_candidates
+
+    return find_typo_candidates(
+        _staged_typos(spark), ["city"], "country", radius=2, ratio=0.6
+    )
+
+
 _DIRECTORS_V_PATH = f"{_STAGE_ROOT}/directors_v"
 _DIRECTORS_E_PATH = f"{_STAGE_ROOT}/directors_e"
 
@@ -1029,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
         "near_dup_minhash_documents": _q_near_dup_minhash_documents,
+        "typo_candidates_cities": _q_typo_candidates_cities,
     }
 
 
@@ -2374,6 +2417,32 @@ FROM m
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
         "fd_discovery_dfd_orders": _fd_minimal_oracle(),
         "near_dup_minhash_documents": _near_dup_minhash_oracle(),
+        "typo_candidates_cities": f"""
+WITH counts AS (
+  SELECT city, country AS value, CAST(count(*) AS BIGINT) AS cnt
+  FROM read_parquet('{_TYPOS_PATH}/*.parquet') GROUP BY city, country
+),
+cl AS (SELECT city, sum(cnt) AS cluster_size, count(*) AS n_vals,
+              max(cnt) AS maxc
+       FROM counts GROUP BY city),
+ranked AS (
+  SELECT city, value, cnt,
+         row_number() OVER (PARTITION BY city
+                            ORDER BY cnt DESC, value ASC) AS rk
+  FROM counts
+),
+maj AS (SELECT city, value AS majority_value FROM ranked WHERE rk = 1),
+viol AS (SELECT city FROM cl
+         WHERE n_vals > 1
+           AND CAST(maxc AS DOUBLE) / CAST(cluster_size AS DOUBLE) >= 0.6e0)
+SELECT r.city, m.majority_value, r.value AS candidate_value,
+       CAST(r.cnt AS BIGINT) AS candidate_count,
+       CAST(levenshtein(r.value, m.majority_value) AS INT) AS distance
+FROM ranked r
+JOIN maj m ON m.city = r.city
+JOIN viol v ON v.city = r.city
+WHERE r.rk > 1 AND levenshtein(r.value, m.majority_value) <= 2
+""",
         "gfd_dot_directors": f"""
 WITH v AS (SELECT * FROM read_parquet('{_DIRECTORS_V_PATH}/*.parquet')),
 e AS (SELECT src, dst FROM read_parquet('{_DIRECTORS_E_PATH}/*.parquet')

@@ -1,0 +1,48 @@
+"""FD discovery, four strategies, one answer — mirrors the reference's
+algorithm selection surface (`algorithm_types.h:23-80`: tane / hyfd / dfd /
+fdep all mine the same minimal-FD set by different routes):
+
+- TANE       levelwise lattice, one batched distinct-count job per level
+- HyFD       sampled negative cover + batched validation of survivors
+- FDep       complete agree-set cover by counting + driver inversion
+- DFD        lockstep random walks with subset/superset inference
+
+All four are exact and must agree bit-for-bit."""
+
+from __future__ import annotations
+
+from desbordante_spark.discovery.dfd import discover_fds_dfd
+from desbordante_spark.discovery.fdep import discover_fds_fdep
+from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+from desbordante_spark.discovery.tane import discover_fds
+
+COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"]
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*COLS)
+
+    results = {}
+    for name, miner in [
+        ("tane", lambda df: discover_fds(df, max_lhs=2)),
+        ("hyfd", lambda df: discover_fds_hybrid(df, max_lhs=2)),
+        ("fdep", lambda df: discover_fds_fdep(df, max_lhs=2)),
+        ("dfd", lambda df: discover_fds_dfd(df, max_lhs=2)),
+    ]:
+        results[name] = miner(orders)
+        print(f"{name:>5}: {len(results[name])} minimal FDs")
+
+    assert (
+        results["tane"] == results["hyfd"]
+        == results["fdep"] == results["dfd"]
+    ), "strategies disagree"
+    for lhs, rhs in results["tane"][:8]:
+        print(f"  {{{', '.join(lhs) or '∅'}}} -> {rhs}")
+    print("all four strategies agree")
+
+
+if __name__ == "__main__":
+    from desbordante_spark.session import get_spark
+
+    main(get_spark(app_name="example-mine-fd-strategies"))
