@@ -57,13 +57,18 @@ def find_typo_candidates(
         *lhs, F.col("value").alias("majority_value"),
         F.col("cnt").alias("majority_count"),
     )
-    minority = ranked.filter(F.col("_rk") > 1)
-    cond = [minority[c].eqNullSafe(majority[c]) for c in lhs]
-    joined = minority.join(majority, cond).select(
-        *[minority[c] for c in lhs],
-        "majority_value",
-        F.col("value").alias("candidate_value"),
-        F.col("cnt").alias("candidate_count"),
-        F.levenshtein(F.col("value"), F.col("majority_value")).alias("distance"),
+    minority = ranked.filter(F.col("_rk") > 1).alias("mn")
+    mj = majority.alias("mj")
+    cond = [
+        F.col(f"mn.{c}").eqNullSafe(F.col(f"mj.{c}")) for c in lhs
+    ]
+    joined = minority.join(mj, cond).select(
+        *[F.col(f"mn.{c}").alias(c) for c in lhs],
+        F.col("mj.majority_value").alias("majority_value"),
+        F.col("mn.value").alias("candidate_value"),
+        F.col("mn.cnt").alias("candidate_count"),
+        F.levenshtein(F.col("mn.value"), F.col("mj.majority_value")).alias(
+            "distance"
+        ),
     )
     return joined.filter(F.col("distance") <= radius)
