@@ -570,3 +570,15 @@ def test_discover_fds_dfd_equals_tane(spark):
     # exact and deterministic under any seed
     assert discover_fds_dfd(orders, max_lhs=2, seed=1) == tane
     assert discover_fds_dfd(orders, max_lhs=2, seed=99) == tane
+
+
+def test_hyfd_skips_lattice_on_wide_table(spark):
+    # the hybrid's reason to exist: on the 11-column lineitem the sampled
+    # negative cover leaves a small fraction of the level-<=2 lattice for
+    # exact validation (measured ~72/605; TANE validates all 605)
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    st = {}
+    discover_fds_hybrid(li, max_lhs=2, stats=st)
+    assert st["validated_candidates"] < st["full_lattice_candidates"] / 3
