@@ -28,6 +28,7 @@ __all__ = [
     "streaming_duplicate_alerts",
     "streaming_profile",
     "streaming_span_invariant",
+    "streaming_referential_alerts",
     "streaming_first_seen_dedup",
     "streaming_histogram_sketch",
     "drift_foreach_batch",
@@ -227,3 +228,29 @@ def streaming_span_invariant(
         .filter(F.size("reasons") > 0)
         .select(*id_cols, "reasons")
     )
+
+
+def streaming_referential_alerts(
+    stream: DataFrame,
+    fact_cols: Sequence[str],
+    dim: DataFrame,
+    dim_cols: Sequence[str],
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Live referential-integrity violations: stream rows whose
+    ``fact_cols`` values have no match in the STATIC dimension's
+    ``dim_cols`` (the north-rule media_ref → media-catalog check on a
+    stream). Stream-static left-anti join — the dimension is broadcast, so
+    the stream side never shuffles and no state is kept (append mode).
+    NULL foreign keys are skipped, matching the batch operator."""
+    fact_cols = list(fact_cols)
+    dim_cols = list(dim_cols)
+    keyed = dim.select(
+        *[F.col(d).alias(f) for f, d in zip(fact_cols, dim_cols)]
+    ).distinct()
+    out = stream
+    for f in fact_cols:
+        out = out.filter(F.col(f).isNotNull())
+    out = out.join(F.broadcast(keyed), on=fact_cols, how="left_anti")
+    cols = [*id_cols, *fact_cols] if id_cols else list(stream.columns)
+    return out.select(*cols)

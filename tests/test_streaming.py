@@ -207,3 +207,19 @@ def test_streaming_drift(spark, tmp_path):
     drifted = {r["partition"] for r in alerts}
     assert any(p.endswith("00:01:00") for p in drifted)   # shifted window
     assert not any(p.endswith("00:00:00") for p in drifted)  # baseline-like
+
+
+def test_streaming_referential_alerts(spark, stream_env):
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_referential_alerts,
+    )
+
+    catalog = spark.createDataFrame(
+        [("a",), ("b",)], "known_id string"
+    )
+    alerts = streaming_referential_alerts(
+        stream_env, ["doc_id"], catalog, ["known_id"]
+    )
+    _run(alerts, "ref_alerts", "append")
+    rows = spark.sql("SELECT * FROM ref_alerts").collect()
+    assert {r["doc_id"] for r in rows} == {"c"}  # only the dangling key
