@@ -26,40 +26,10 @@ fails loudly rather than silently wrapping.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from desbordante_spark.discovery.common import content_sample, pair_mass_level
 
 __all__ = ["discover_auccs"]
-
-_SEP = "\x01"
-_NULL = "\x00∅"
-
-
-def _pair_mass_level(
-    df: DataFrame, cands: list[tuple[str, ...]]
-) -> dict[int, tuple[int, int]]:
-    """One job: per candidate column-set → ``(equal_pairs_2x, n_rows)``
-    where equal_pairs_2x = Σ c·(c−1) over the candidate's key clusters."""
-    structs = []
-    for i, cols in enumerate(cands):
-        key = F.concat_ws(
-            _SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-              for c in cols],
-        )
-        structs.append(F.struct(F.lit(i).alias("cid"), key.alias("k")))
-    exploded = df.select(F.explode(F.array(*structs)).alias("c")).select(
-        "c.cid", "c.k"
-    )
-    g = exploded.groupBy("cid", "k").agg(F.count(F.lit(1)).alias("cnt"))
-    agg = (
-        g.groupBy("cid")
-        .agg(
-            F.sum(F.col("cnt") * (F.col("cnt") - 1)).cast("long").alias("ep"),
-            F.sum("cnt").cast("long").alias("n"),
-        )
-        .collect()
-    )
-    return {int(r["cid"]): (int(r["ep"]), int(r["n"])) for r in agg}
 
 
 def discover_auccs(
@@ -83,7 +53,7 @@ def discover_auccs(
     qualifying: list[tuple[str, ...]] = []
     candidates: list[tuple[str, ...]] = [(c,) for c in cols]
     sample = (
-        df.sample(fraction=sample_fraction, seed=42)
+        content_sample(df, sample_fraction)
         if sample_fraction is not None and sample_fraction < 1.0
         else None
     )
@@ -92,7 +62,7 @@ def discover_auccs(
             break
         todo = candidates
         if sample is not None:
-            est = _pair_mass_level(sample, todo)
+            est = pair_mass_level(sample, todo)
             kept = []
             for i, s in enumerate(todo):
                 ep, m = est.get(i, (0, 0))
@@ -100,7 +70,7 @@ def discover_auccs(
                 if e <= max_error + sample_margin:
                     kept.append(s)
             todo = kept
-        scores = _pair_mass_level(df, todo) if todo else {}
+        scores = pair_mass_level(df, todo) if todo else {}
         failed = set(candidates) - set(todo)
         for i, s in enumerate(todo):
             ep, n = scores[i]

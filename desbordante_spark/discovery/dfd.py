@@ -22,6 +22,11 @@ cardinality equality; inference only reorders work).
 
 Output contract identical to ``tane.discover_fds`` / ``hyfd`` / ``fdep``:
 minimal FDs only, constant columns as ``∅ → a``, superkey LHS suppressed.
+
+Driver bookkeeping materialises the bounded LHS lattice (Σ_{k≤max_lhs}
+C(m,k) nodes per RHS) up front, so the walk saves SPARK JOBS, not driver
+memory — appropriate for the default ``max_lhs ≤ 3``; for wide tables at
+larger arities the hybrid (discovery/hyfd.py) is the scale path.
 """
 
 from __future__ import annotations
@@ -86,7 +91,9 @@ class _Walk:
         cur = self.current
         if cur is not None and cur in self.status:
             if self.status[cur] == _DEP:
-                nbrs = [cur - {c} for c in cur if len(cur) > 1]
+                # sorted: frozenset iteration order varies with hash
+                # randomization, which would break seeded determinism
+                nbrs = [cur - {c} for c in sorted(cur) if len(cur) > 1]
             else:
                 nbrs = [
                     cur | {c}

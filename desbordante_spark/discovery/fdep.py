@@ -47,43 +47,23 @@ from __future__ import annotations
 from itertools import combinations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from desbordante_spark.discovery.common import pair_mass_level
 
 __all__ = ["compute_agree_sets", "discover_fds_fdep"]
-
-_SEP = "\x01"
-_NULL = "\x00∅"
 
 
 def _pair_counts_level(
     df: DataFrame, cands: list[tuple[str, ...]]
 ) -> dict[tuple[str, ...], tuple[int, int]]:
-    """ONE batched job: for every candidate column set, the number of
-    unordered row pairs agreeing on all its columns (null-safe, nulls agree)
-    and the row count. Exact BIGINT sums."""
-    structs = []
-    for i, cols in enumerate(cands):
-        key = F.concat_ws(
-            _SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-              for c in cols],
-        )
-        structs.append(F.struct(F.lit(i).alias("cid"), key.alias("k")))
-    e = df.select(F.explode(F.array(*structs)).alias("c")).select(
-        "c.cid", "c.k"
-    )
-    g = e.groupBy("cid", "k").agg(F.count(F.lit(1)).alias("cnt"))
-    rows = (
-        g.groupBy("cid")
-        .agg(
-            F.floor(F.sum(F.col("cnt") * (F.col("cnt") - 1)) / 2)
-            .cast("long").alias("p"),
-            F.sum("cnt").cast("long").alias("n"),
-        )
-        .collect()
-    )
-    got = {int(r["cid"]): (int(r["p"]), int(r["n"])) for r in rows}
-    return {cands[i]: got.get(i, (0, 0)) for i in range(len(cands))}
+    """ONE batched job (discovery/common.py): per candidate column set →
+    (unordered pairs agreeing on all its columns, row count). The doubled
+    sum arrives as an exact BIGINT and is halved in Python big-int
+    arithmetic, so no double rounding can corrupt counts past 2^53."""
+    got = pair_mass_level(df, cands)
+    return {
+        cands[i]: (ep2x // 2, n) for i, (ep2x, n) in got.items()
+    }
 
 
 def compute_agree_sets(
@@ -209,6 +189,12 @@ def discover_fds_fdep(
         bad = [s for s in agree_sets if a not in s]
         # only maximal refuting sets matter for containment tests
         bad_max = [s for s in bad if not any(s < t for t in bad)]
+        # a is not constant, so SOME pair differs on a; if every such pair
+        # has an EMPTY agree set it never enters the cover, yet it still
+        # refutes the ∅ candidate — seed the inversion with the empty
+        # refuter so ∅ specializes into the singletons (a no-op when bad
+        # is nonempty, since ∅ ⊆ every refuting set)
+        bad_max.append(frozenset())
         for x in _invert(a, cols, bad_max, max_lhs):
             if not x:
                 continue  # ∅ -> a only for constants (handled above)

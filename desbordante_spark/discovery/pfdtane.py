@@ -85,7 +85,9 @@ def _score_level(
             1.0 - F.col("keep_frac") / F.col("nclusters").cast("double"),
         ).otherwise(F.lit(0.0))
     rows = agg.select("cid", err.alias("err")).collect()
-    return {int(r["cid"]): float(r["err"]) for r in rows}
+    got = {int(r["cid"]): float(r["err"]) for r in rows}
+    # empty input yields no aggregation rows — error 0 (vacuously holds)
+    return {i: got.get(i, 0.0) for i in range(len(cands))}
 
 
 def discover_afds(
@@ -114,8 +116,10 @@ def discover_afds(
     cols = sorted(columns or df.columns)
     afds: list[tuple[tuple[str, ...], str, float]] = []
     found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
+    from desbordante_spark.discovery.common import content_sample
+
     sample = (
-        df.sample(fraction=sample_fraction, seed=42)
+        content_sample(df, sample_fraction)
         if sample_fraction is not None and sample_fraction < 1.0
         else None
     )

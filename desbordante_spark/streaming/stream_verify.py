@@ -245,6 +245,11 @@ def streaming_referential_alerts(
     NULL foreign keys are skipped, matching the batch operator."""
     fact_cols = list(fact_cols)
     dim_cols = list(dim_cols)
+    if len(fact_cols) != len(dim_cols):
+        raise ValueError(
+            f"fact_cols/dim_cols arity mismatch: {len(fact_cols)} vs"
+            f" {len(dim_cols)} (a silent zip would check only a key prefix)"
+        )
     keyed = dim.select(
         *[F.col(d).alias(f) for f, d in zip(fact_cols, dim_cols)]
     ).distinct()

@@ -582,3 +582,45 @@ def test_hyfd_skips_lattice_on_wide_table(spark):
     st = {}
     discover_fds_hybrid(li, max_lhs=2, stats=st)
     assert st["validated_candidates"] < st["full_lattice_candidates"] / 3
+
+
+# -------------------------------------- review regressions (round 3)
+
+def test_fdep_empty_negative_cover(spark):
+    # the only pair differing on a column can agree on NOTHING — the empty
+    # agree set never enters the cover but still refutes the ∅ candidate
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+    from desbordante_spark.discovery.tane import discover_fds
+    from desbordante_spark.discovery.dfd import discover_fds_dfd
+
+    df = spark.createDataFrame([(1, 1), (2, 2), (1, 1)], "x int, a int")
+    expect = discover_fds(df, max_lhs=2)
+    assert expect == [(("a",), "x"), (("x",), "a")]
+    assert discover_fds_fdep(df, max_lhs=2) == expect
+    assert discover_fds_dfd(df, max_lhs=2) == expect
+
+
+def test_miners_on_empty_dataframe(spark):
+    from desbordante_spark.discovery.aucc import discover_auccs
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.tane import discover_fds
+
+    df = spark.createDataFrame([], "a int, b int")
+    assert discover_auccs(df, max_size=2, max_error=0.0) == [
+        (("a",), 0.0), (("b",), 0.0)
+    ]
+    assert discover_fds_fdep(df, max_lhs=2) == discover_fds(df, max_lhs=2)
+    afds = discover_afds(df, max_lhs=1, max_error=0.0)
+    assert afds == [((), "a", 0.0), ((), "b", 0.0)]
+
+
+def test_streaming_referential_arity_guard(spark):
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_referential_alerts,
+    )
+
+    dim = spark.createDataFrame([("a", "b")], "d1 string, d2 string")
+    fact = spark.createDataFrame([("a",)], "k1 string")
+    with pytest.raises(ValueError, match="arity"):
+        streaming_referential_alerts(fact, ["k1"], dim, ["d1", "d2"])
