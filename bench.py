@@ -242,7 +242,9 @@ def main() -> None:
                 "docs_per_sec_4N": s["docs_per_sec_4N"],
                 "scaling_efficiency": s["scaling_efficiency"],
             }
-        except (KeyError, ValueError):
+        except (KeyError, ValueError, TypeError, OSError):
+            # best-effort embed: a malformed/mis-shaped scaling file must
+            # not abort the run after all the timing work is done
             pass
     print(json.dumps(out))
 

@@ -98,17 +98,31 @@ def _level_validate_sketch(
     grouped conditional-sketch aggregate scores every candidate (the union
     sketch is simply the unconditional one over both sides) — no exact
     distinct shuffle anywhere."""
-    parts = []
+    # scan each DISTINCT (table, column-tuple) projection ONCE and fan its
+    # rows out to every (candidate, side) that references it via a literal
+    # explode — a per-candidate union would rescan the source tables
+    # (candidates × 2) times, making the prune dearer than the exact pass
+    # it is meant to avoid
+    proj_users: dict[tuple[str, tuple[str, ...]],
+                     list[tuple[int, str]]] = {}
     for cid, (lt, lcols, rt, rcols) in enumerate(candidates):
-        for side, t, cols in (("L", lt, lcols), ("R", rt, rcols)):
-            v = F.array(*[F.col(c).cast(cast_to) for c in cols])
-            parts.append(
-                tables[t]
-                .select(v.alias("v"))
-                .filter(~F.exists(F.col("v"), lambda x: x.isNull()))
-                .select(F.lit(cid).alias("cid"),
-                        F.lit(side).alias("w"), F.col("v"))
-            )
+        proj_users.setdefault((lt, lcols), []).append((cid, "L"))
+        proj_users.setdefault((rt, rcols), []).append((cid, "R"))
+    parts = []
+    for (t, cols), users in sorted(proj_users.items()):
+        v = F.array(*[F.col(c).cast(cast_to) for c in cols])
+        tags = F.array(*[
+            F.struct(F.lit(cid).alias("cid"), F.lit(side).alias("w"))
+            for cid, side in users
+        ])
+        parts.append(
+            tables[t]
+            .select(v.alias("v"))
+            .filter(~F.exists(F.col("v"), lambda x: x.isNull()))
+            .select(F.explode(tags).alias("u"), F.col("v"))
+            .select(F.col("u.cid").alias("cid"),
+                    F.col("u.w").alias("w"), F.col("v"))
+        )
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)

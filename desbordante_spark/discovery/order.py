@@ -102,12 +102,17 @@ def _evaluate_od_candidates(
     )
     out = F.broadcast(dim).join(per_cand, "cid", "left")
     nsw = F.coalesce(F.col("num_swap_groups"), F.lit(0)).cast("long")
+    tg = F.coalesce(F.col("total_groups"), F.lit(0)).cast("long")
+    # total_groups = 0 means NO row had castable (av, bv) values — e.g. a
+    # text column nulled by try_cast; a vacuous "holds" there would be
+    # misleading (and would wrongly prune finer contexts in the auto
+    # search), so holding requires at least one real group
     return out.select(
         "context", "lhs", "rhs", "direction",
         nsw.alias("num_swap_groups"),
-        F.coalesce(F.col("total_groups"), F.lit(0)).cast("long")
-        .alias("total_groups"),
-        (nsw <= F.lit(int(max_swap_groups))).cast("int").alias("holds"),
+        tg.alias("total_groups"),
+        ((nsw <= F.lit(int(max_swap_groups))) & (tg > 0))
+        .cast("int").alias("holds"),
     )
 
 
@@ -178,7 +183,10 @@ def discover_ods_auto(
     ctx_pool = sorted(context_attrs)
     pairs = [(a, b, d) for a in cols for b in cols if a != b
              for d in directions]
-    results: list[DataFrame] = []
+    # candidate verdicts are tiny (one row each): collect each level once
+    # and build the result from the collected rows, so returning the frame
+    # does NOT re-execute every level's Spark job a second time
+    collected: list[tuple] = []
     # per (a,b,d): the set of minimal holding contexts found so far
     held: dict[tuple[str, str, str], list[tuple[str, ...]]] = {
         p: [] for p in pairs
@@ -195,14 +203,18 @@ def discover_ods_auto(
                 cands.append((ctx, a, b, d))
         if not cands:
             break
-        res = _evaluate_od_candidates(df, cands, max_swap_groups)
-        results.append(res)
-        for r in res.select("context", "lhs", "rhs", "direction", "holds") \
-                    .collect():
+        rows = _evaluate_od_candidates(df, cands, max_swap_groups).collect()
+        for r in rows:
+            collected.append(
+                (r["context"], r["lhs"], r["rhs"], r["direction"],
+                 int(r["num_swap_groups"]), int(r["total_groups"]),
+                 int(r["holds"]))
+            )
             if int(r["holds"]) == 1:
                 ctx = tuple(r["context"].split(",")) if r["context"] else ()
                 held[(r["lhs"], r["rhs"], r["direction"])].append(ctx)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    return df.sparkSession.createDataFrame(
+        collected,
+        "context string, lhs string, rhs string, direction string, "
+        "num_swap_groups long, total_groups long, holds int",
+    )

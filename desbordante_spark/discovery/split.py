@@ -98,15 +98,18 @@ def dd_build_rhs_ranges(
 ) -> list[tuple[float, float]]:
     """Cluster the RHS distances of qualifying pairs into gap-separated
     intervals (ac.py's weight-bundling): a gap wider than ``weight ×
-    (global span)`` starts a new interval. The driver collect is BOUNDED by
-    ``max_sample`` — pairs are ranked by md5 of the distance value (an
-    unbiased deterministic subset) via a distributed TakeOrderedAndProject,
-    never an unbounded ``collect()``."""
+    (global span)`` starts a new interval. Intervals depend only on the SET
+    of distances present, so the bounded driver collect samples DISTINCT
+    distance values ranked by ``md5(value)`` (a distributed
+    TakeOrderedAndProject) — ranking raw pairs would collapse an
+    integer-valued distance column onto its few smallest-md5 values and
+    drop whole clusters from the intervals."""
     pairs, dtypes = _qualifying_pairs(df, lhs_bounds, row_id, (rhs_col,))
     d = _dist(F.col(f"a.{rhs_col}"), F.col(f"b.{rhs_col}"), dtypes[rhs_col])
     vals = (
         pairs.select(d.alias("v"))
         .filter(F.col("v").isNotNull())
+        .distinct()
         .orderBy(F.md5(F.col("v").cast("string")))
         .limit(int(max_sample))
         .collect()

@@ -62,16 +62,23 @@ def ac_build_ranges(
 
     The driver collect is BOUNDED by ``max_sample`` (the reference samples a
     bounded count, not a fraction): a fraction-only sample of a 100-TB table
-    is billions of rows on the driver. The cap keeps the subset uniform and
-    deterministic — rows are ranked by ``md5`` of the value (not by the value
-    itself, which would bias the truncation to the low end) via a distributed
-    TakeOrderedAndProject, then sorted locally. When the fraction sample fits
-    under the cap the result is identical to the uncapped behavior."""
+    is billions of rows on the driver. Ranges depend only on the SET of
+    values present (gaps between sorted values), so the sample is taken over
+    DISTINCT values — duplicates add nothing, and ranking raw rows by a
+    value hash would collapse a duplicate-heavy column onto its few
+    smallest-md5 values, silently dropping whole value clusters from the
+    ranges. Rows are fraction-sampled first (row-level, like the
+    reference — a content-hash sample would again drop whole values of a
+    duplicate-heavy column), then deduplicated, then capped via a
+    distributed TakeOrderedAndProject on ``md5(value)`` (unbiased across
+    the value space). When the distinct count fits under the cap, every
+    sampled value contributes."""
     v = _binop_col(col_a, col_b, op)
+    vals = df.select(v.alias("v")).filter(F.col("v").isNotNull())
+    if sample_fraction < 1.0:
+        vals = vals.sample(fraction=sample_fraction, seed=seed)
     vals = (
-        df.select(v.alias("v"))
-        .filter(F.col("v").isNotNull())
-        .sample(fraction=sample_fraction, seed=seed)
+        vals.distinct()
         .orderBy(F.md5(F.col("v").cast("string")))
         .limit(int(max_sample))
         .collect()

@@ -144,9 +144,13 @@ def lsh_bucket(
         bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
     # Guard against a dim mismatch: zip_with pads the shorter side with
     # NULLs, the dot product goes NULL, every sign test is false and ALL
-    # rows silently collapse into bucket 0. Fail loudly instead.
+    # rows silently collapse into bucket 0. Fail loudly instead — but a
+    # NULL embedding is not a dim mismatch: it gets a NULL bucket (the row
+    # simply drops out of every bucket equi-join) rather than aborting the
+    # whole job with a NULL-message raise_error.
     return (
-        F.when(F.size(v) == F.lit(dim), bucket)
+        F.when(v.isNull(), F.lit(None))
+        .when(F.size(v) == F.lit(dim), bucket)
         .otherwise(
             F.raise_error(
                 F.concat(

@@ -38,7 +38,8 @@ __all__ = [
 
 _ATTR_RE = re.compile(r'(\w+)=(?:"([^"]*)"|([^\s\]";]+))')
 _VERTEX_RE = re.compile(r"^(\w+)\s*\[(.*)\]\s*;?\s*$")
-_EDGE_RE = re.compile(r"^(\w+)\s*--\s*(\w+)\s*(?:\[(.*)\])?\s*;?\s*$")
+_EDGE_RE = re.compile(r"^(\w+)\s*(?:--|->)\s*(\w+)\s*(?:\[(.*)\])?\s*;?\s*$")
+_BARE_VERTEX_RE = re.compile(r"^(\w+)\s*;?\s*$")
 
 
 def _load(path_or_text: str | Path) -> str:
@@ -62,11 +63,14 @@ def parse_dot_graph(
     edges: list[tuple[str, str, str | None]] = []
     for raw in text.splitlines():
         line = raw.strip()
-        if (
-            not line
-            or line.startswith(("graph", "digraph", "//", "#"))
-            or line in ("{", "}")
-        ):
+        if line.startswith(("graph", "digraph")):
+            # header may share its line with the first statement:
+            # "digraph G {0[label=a];" — keep whatever follows the brace
+            line = line.split("{", 1)[1].strip() if "{" in line else ""
+        if not line or line.startswith(("//", "#")) or line in ("{", "}"):
+            continue
+        line = line.removesuffix("}").strip()
+        if not line:
             continue
         em = _EDGE_RE.match(line)
         if em:
@@ -77,6 +81,14 @@ def parse_dot_graph(
         if vm:
             attrs = _parse_attrs(vm.group(2))
             vertices.append({"vertex_id": vm.group(1), **attrs})
+            continue
+        bm = _BARE_VERTEX_RE.match(line)
+        if bm:
+            vertices.append({"vertex_id": bm.group(1)})
+            continue
+        # silently dropping a line would yield an empty edge/vertex frame
+        # and a vacuously-holding GFD — fail loudly on unsupported syntax
+        raise ValueError(f"unparseable dot line: {raw!r}")
     return vertices, edges
 
 
@@ -100,17 +112,19 @@ def dot_graph_frames(
 
 def _parse_token(tok: str):
     m = re.match(r"^(\d+)\.(.+)$", tok)
-    if m:
-        return (m.group(1), m.group(2))  # (pattern var, attribute)
+    # (pattern var, attribute) — but attribute names are identifiers, so a
+    # purely-numeric "attribute" means the token is a decimal constant
+    # (e.g. 19.99), not a reference to pattern vertex 19
+    if m and not m.group(2).isdigit():
+        return (m.group(1), m.group(2))
     return tok  # constant
 
 
 def _parse_literal_line(line: str) -> list[tuple]:
-    line = line.strip()
-    if not line:
-        return []
     lits = []
-    for item in line.split(" "):
+    # split() collapses runs of whitespace — a double space or trailing
+    # blank must not produce an empty "literal"
+    for item in line.split():
         lhs, rhs = item.split("=", 1)
         lits.append((_parse_token(lhs), _parse_token(rhs)))
     return lits

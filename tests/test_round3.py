@@ -624,3 +624,75 @@ def test_streaming_referential_arity_guard(spark):
     fact = spark.createDataFrame([("a",)], "k1 string")
     with pytest.raises(ValueError, match="arity"):
         streaming_referential_alerts(fact, ["k1"], dim, ["d1", "d2"])
+
+
+# ---------------------------------- review regressions (earlier r3 work)
+
+def test_ac_ranges_cover_duplicate_heavy_values(spark):
+    # ranking raw rows by md5(value) would keep only the smallest-md5
+    # values of a duplicate-heavy column; distinct-value sampling must
+    # cover every cluster
+    from desbordante_spark.operators.ac import ac_build_ranges
+
+    rows = [(float(v), 0.0) for v in (10, 20, 30, 40, 50) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    ranges = ac_build_ranges(df, "a", "b", "+", sample_fraction=1.0,
+                             weight=0.05, max_sample=100)
+    covered = [v for v in (10, 20, 30, 40, 50)
+               if any(lo <= v <= hi for lo, hi in ranges)]
+    assert covered == [10, 20, 30, 40, 50]
+
+
+def test_discover_ods_vacuous_candidate_does_not_hold(spark):
+    from desbordante_spark.discovery.order import discover_ods
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "a int, s string"
+    )
+    rows = discover_ods(df, ["a", "s"], directions=("asc",)).collect()
+    vac = [r for r in rows if r["total_groups"] == 0]
+    assert vac and all(r["holds"] == 0 for r in vac)
+
+
+def test_discover_ods_auto_no_candidates(spark):
+    from desbordante_spark.discovery.order import discover_ods_auto
+
+    df = spark.createDataFrame([(1, 2)], "a int, g int")
+    out = discover_ods_auto(df, ["a"], ["g"])  # single column: no pairs
+    assert out.count() == 0
+    assert out.columns[:4] == ["context", "lhs", "rhs", "direction"]
+
+
+def test_lsh_bucket_null_embedding_gets_null_bucket(spark):
+    from desbordante_spark.operators.similarity import lsh_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "id int, embedding array<double>",
+    )
+    rows = df.select(
+        "id", lsh_bucket("embedding", planes=2, dim=2).alias("b")
+    ).collect()
+    got = {r["id"]: r["b"] for r in rows}
+    assert got[1] is not None and got[2] is None
+
+
+def test_dot_parser_directed_edges_and_strictness(spark):
+    from desbordante_spark.sources.graph_dot import parse_dot_graph
+
+    v, e = parse_dot_graph(
+        'digraph G {0[label=a];1[label=b];2;0->1;1--2[label=t];}'
+        .replace(";", ";\n")
+    )
+    assert {x["vertex_id"] for x in v} == {"0", "1", "2"}
+    assert ("0", "1", None) in e and ("1", "2", "t") in e
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_dot_graph("graph G {\n 0 [label=a];\n 0 => 1;\n}")
+
+
+def test_gfd_literal_parsing_decimals_and_spaces(spark):
+    from desbordante_spark.sources.graph_dot import _parse_literal_line
+
+    lits = _parse_literal_line("0.price=19.99  1.kind=x ")
+    assert lits == [(("0", "price"), "19.99"), (("1", "kind"), "x")]
