@@ -74,7 +74,16 @@ def drift_metrics(
     proportional to the pooled bucket mass. All arithmetic is exact integer
     ratios → engine-independent.
     """
-    counts = sketch
+    # the sketch plan is referenced three times below (bucket domain,
+    # per-bucket totals, the densify join); left lazy, each reference
+    # re-executes the full data scan. The sketch itself is tiny
+    # (|partitions| × |buckets| rows) — materialize it ONCE so drift math
+    # never touches the data again. Falls back to the lazy plan where
+    # localCheckpoint is unavailable.
+    try:
+        counts = sketch.localCheckpoint(eager=True)
+    except Exception:
+        counts = sketch
     if baseline_partition is not None:
         base_counts = (
             counts.filter(F.col("partition") == baseline_partition)
