@@ -227,13 +227,21 @@ def ivf_centroids(
     corpus_id: str,
     vec_col: str = "embedding",
     k: int = 16,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF coarse quantizer: ``k`` centroids picked deterministically from
     the corpus itself — the vectors whose ``md5(id)`` sorts lowest (a seeded
-    uniform sample with no stored model and no iterative training; the
-    k-means++-style refinement is deliberately skipped so the quantizer is
-    reproducible in plain SQL and identical on any cluster). Returns
-    ``(centroid_id, cvec)`` with dense ids 0..k-1 in md5 order.
+    uniform sample with no stored model; reproducible in plain SQL and
+    identical on any cluster). Returns ``(centroid_id, cvec)`` with dense
+    ids 0..k-1 in md5 order.
+
+    ``refine_iters > 0`` runs that many Lloyd (k-means) iterations on the
+    seeds — each iteration is one broadcast assign + one element-wise mean
+    (posexplode → groupBy(centroid, position) avg → re-assemble), so the
+    cost is ``refine_iters`` linear passes. Refinement improves recall on
+    clustered corpora but floating-point partial-sum order makes the
+    refined centroids not bit-reproducible across partition layouts — keep
+    the default 0 for oracle-exact paths; empty clusters retain their seed.
 
     Scale shape: ``orderBy(...).limit(k)`` plans as a distributed
     TakeOrderedAndProject (per-partition top-k, tiny merge on the driver) —
@@ -248,10 +256,42 @@ def ivf_centroids(
         .limit(k)
     )
     w = Window.orderBy("_m")  # k rows only — single tiny partition is fine
-    return (
+    cents = (
         picked.withColumn("_rn", F.row_number().over(w))
         .select((F.col("_rn") - 1).cast("int").alias("centroid_id"), "cvec")
     )
+    for _ in range(int(refine_iters)):
+        cents = cents.localCheckpoint(eager=True)  # k rows; cut the lineage
+        assigned = ivf_assign(
+            corpus.select(F.col(corpus_id).alias("_id"),
+                          F.col(vec_col).alias("_v")),
+            cents, "_id", "_v",
+        )
+        e = assigned.select(
+            "centroid_id", F.posexplode(F.col("_v")).alias("pos", "x")
+        )
+        means = (
+            e.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mvec")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("mvec"),
+                           F.transform(F.col("cvec"),
+                                       lambda x: x.cast("double")))
+                .alias("cvec"),
+            )
+        )
+    return cents
 
 
 def ivf_assign(
@@ -291,6 +331,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN top-k: corpus rows are bucketed by nearest centroid
     (inverted lists); each query probes its ``nprobe`` nearest centroids'
@@ -298,8 +339,11 @@ def cosine_topk_ivf(
 
     Scale shape: centroid table is tiny (broadcast twice); the corpus scan
     assigns + shuffles once on centroid_id; the probe is a hash join on
-    centroid_id. Recall is tunable via nprobe/n_centroids."""
-    cents = ivf_centroids(corpus, corpus_id, vec_col, n_centroids)
+    centroid_id. Recall is tunable via nprobe/n_centroids, and
+    ``refine_iters`` Lloyd iterations on the quantizer (see
+    ``ivf_centroids`` — keep 0 for bit-reproducible paths)."""
+    cents = ivf_centroids(corpus, corpus_id, vec_col, n_centroids,
+                          refine_iters)
     cb = ivf_assign(
         corpus.select(F.col(corpus_id).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")),

@@ -696,3 +696,43 @@ def test_gfd_literal_parsing_decimals_and_spaces(spark):
 
     lits = _parse_literal_line("0.price=19.99  1.kind=x ")
     assert lits == [(("0", "price"), "19.99"), (("1", "kind"), "x")]
+
+
+def test_ivf_refined_centroids_recall(spark):
+    """Lloyd refinement of the IVF quantizer must not hurt recall on the
+    fixture (typically improves it on clustered data); refined centroids
+    keep exactly n_centroids rows with dense ids."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, "vec_id", k=8, refine_iters=2)
+    rows = cents.collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(8))
+    assert all(len(r["cvec"]) == 64 for r in rows)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def topsets(df):
+        out = defaultdict(set)
+        for r in df.collect():
+            out[r["query_id"]].add(r["neighbor_id"])
+        return out
+
+    exact = topsets(cosine_topk_bruteforce(queries, emb, "vec_id", "vec_id",
+                                           k=10))
+    plain = topsets(cosine_topk_ivf(queries, emb, "vec_id", "vec_id", k=10,
+                                    n_centroids=16, nprobe=4))
+    refined = topsets(cosine_topk_ivf(queries, emb, "vec_id", "vec_id",
+                                      k=10, n_centroids=16, nprobe=4,
+                                      refine_iters=2))
+    r_plain = sum(len(exact[q] & plain[q]) for q in exact) / (10 * len(exact))
+    r_ref = sum(len(exact[q] & refined[q]) for q in exact) / (10 * len(exact))
+    print(f"IVF recall@10: seeds={r_plain:.3f} refined={r_ref:.3f}")
+    assert r_ref >= r_plain - 0.05  # refinement must not collapse recall
+    assert r_ref >= 0.45
