@@ -538,6 +538,20 @@ def _q_fd_discovery_fdep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_discovery_fun_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FUN free-set miner (discovery/fun.py): node-pruned cardinality
+    # lattice, Expand-free batched distinct counts — exact, so it shares
+    # the minimal-FD oracle
+    from desbordante_spark.discovery.fun import discover_fds_fun
+
+    fds = discover_fds_fun(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
 def _q_fd_discovery_dfd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DFD random-walk miner (discovery/dfd.py): lockstep walks, one batched
     # cardinality job per round, subset/superset inference — exact, so it
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aucc_discovery_orders": _q_aucc_discovery_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
+        "fd_discovery_fun_orders": _q_fd_discovery_fun_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
         "near_dup_minhash_documents": _q_near_dup_minhash_documents,
         "typo_candidates_cities": _q_typo_candidates_cities,
@@ -2415,6 +2430,7 @@ FROM m
         "aucc_discovery_orders": _aucc_discovery_oracle(),
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
+        "fd_discovery_fun_orders": _fd_minimal_oracle(),
         "fd_discovery_dfd_orders": _fd_minimal_oracle(),
         "near_dup_minhash_documents": _near_dup_minhash_oracle(),
         "typo_candidates_cities": f"""

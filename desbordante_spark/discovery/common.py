@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SEP", "NULL", "pair_mass_level", "content_sample"]
+__all__ = ["SEP", "NULL", "pair_mass_level", "distinct_count_level",
+           "content_sample"]
 
 SEP = "\x01"
 NULL = "\x00∅"
@@ -54,6 +55,40 @@ def pair_mass_level(
     )
     got = {int(r["cid"]): (int(r["ep"]), int(r["n"])) for r in rows}
     return {i: got.get(i, (0, 0)) for i in range(len(cands))}
+
+
+def distinct_count_level(
+    df: DataFrame, cands: list[tuple[str, ...]]
+) -> dict[int, int]:
+    """ONE job: per candidate column set → EXACT distinct key count
+    (null-safe keys: nulls agree), via the same explode + two-level
+    aggregation as ``pair_mass_level``. Unlike batching many
+    ``count_distinct`` aggregates into one ``agg`` (tane.distinct_counts),
+    this never plans an Expand — Catalyst rewrites N distinct aggregates
+    into an N× row replication, measured 15× slower at 11 candidates on
+    this host — so it is the shape that survives wide lattice levels.
+    Candidates missing from the aggregation (empty input) come back as 0."""
+    if not cands:
+        return {}
+    structs = []
+    for i, cols in enumerate(cands):
+        key = F.concat_ws(
+            SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(NULL))
+              for c in cols],
+        )
+        structs.append(F.struct(F.lit(i).alias("cid"), key.alias("k")))
+    e = df.select(F.explode(F.array(*structs)).alias("c")).select(
+        "c.cid", "c.k"
+    )
+    g = e.groupBy("cid", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = (
+        g.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .collect()
+    )
+    got = {int(r["cid"]): int(r["d"]) for r in rows}
+    return {i: got.get(i, 0) for i in range(len(cands))}
 
 
 def content_sample(

@@ -1,0 +1,145 @@
+"""FUN-style FD discovery — free-set lattice over exact partition
+cardinalities, with node-level pruning.
+
+Reference: FUN (Novelli & Cicchetti) mines all minimal FDs by traversing
+only the FREE sets — column sets ``X`` with ``|π_X|`` strictly greater
+than every proper subset's cardinality — computing closures from counts
+alone (/root/reference/src/core/algorithms/fd/fun/fun.cpp:55-99:
+``PurePrune`` erases a level-k candidate whose count equals a contained
+level-(k-1) set; ``ComputeClosure`` adds ``a`` to ``closure(X)`` iff
+``Count(X ∪ {a}) == Count(X)``; counts come from PLI intersection,
+``fun.cpp:100-120``). FD_Mine's equivalence-class pruning
+(/root/reference/src/core/algorithms/fd/fd_mine/fd_mine.cpp) attacks the
+same redundancy from the side of symmetric pairs ``X → Y, Y → X``; the
+free-set prune reaches the joint lattice region above any such pair too
+(``X ∪ Y`` has the same count as both, hence is never free), so this
+module stands in for both count-pruned reference miners.
+
+Spark-first: the decision primitive is identical to TANE's
+(``X → a  iff  |π_X| == |π_{X∪{a}}|``) but the search differs in two
+load-bearing ways:
+
+1. **Node-level free-set pruning.** TANE (discovery/tane.py) prunes
+   per-RHS (minimality bookkeeping) and per-key; FUN additionally drops a
+   candidate LHS node the moment ANY immediate subset has an equal count —
+   every FD from a non-free set is implied by one from the equal-count
+   subset. On tables with correlated columns this cuts whole sublattices
+   before they are ever counted.
+2. **Expand-free batched counting.** Cardinalities for a level come from
+   ``common.distinct_count_level`` — one explode + two-level hash
+   aggregation per level — instead of batching N ``count_distinct``
+   aggregates into one ``agg`` (which Catalyst plans as an N× Expand;
+   measured 15× slower at 11 candidates). Shuffle volume is bounded by
+   Σ distinct keys per candidate thanks to map-side partial aggregation.
+
+Extension counts double as next-level candidate counts: a level-(k+1)
+free-set candidate ``X ∪ {c}`` was already counted as the extension of
+each free k-subset during the FD tests, so each lattice level costs
+exactly ONE Spark job and the free-set decision is pure driver
+bookkeeping. Output contract (and order) is identical to
+``tane.discover_fds`` / ``fdep.discover_fds_fdep`` /
+``hyfd.discover_fds_hybrid``: minimal FDs as ``[(lhs_tuple, rhs)]``,
+constant columns as ``() -> a``, key LHS suppressed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from desbordante_spark.discovery.common import distinct_count_level
+
+__all__ = ["discover_fds_fun"]
+
+
+def _counts(
+    df: DataFrame, cands: list[tuple[str, ...]]
+) -> dict[tuple[str, ...], int]:
+    got = distinct_count_level(df, cands)
+    return {cands[i]: c for i, c in got.items()}
+
+
+def discover_fds_fun(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_lhs: int = 3,
+    stats: dict | None = None,
+) -> list[tuple[tuple[str, ...], str]]:
+    """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` via the
+    free-set lattice. Returns ``[(lhs_tuple, rhs_col), ...]`` sorted —
+    identical to ``tane.discover_fds`` on the same inputs. Pass
+    ``stats={}`` to receive ``{"counted_sets", "free_sets", "jobs"}`` —
+    the evaluated-lattice evidence the free-set prune is judged on."""
+    cols = sorted(columns or df.columns)
+    n = df.count()
+    fds: list[tuple[tuple[str, ...], str]] = []
+    found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
+    counted = 0
+    free_total = 0
+    jobs = 1  # the df.count()
+
+    # level 1 counts (constants + seed free sets) — one job
+    cd: dict[tuple[str, ...], int] = _counts(df, [(c,) for c in cols])
+    counted += len(cols)
+    jobs += 1
+    for c in cols:
+        if cd[(c,)] <= 1:
+            fds.append(((), c))
+            found[c].append(())
+
+    keys: list[tuple[str, ...]] = []
+    # free level-1 sets: count > |π_∅| = 1 (constants are non-free)
+    free = [(c,) for c in cols if cd[(c,)] > 1]
+
+    for _level in range(1, max_lhs + 1):
+        free_total += len(free)
+        new_keys = [s for s in free if cd[s] == n]
+        keys.extend(new_keys)
+        # keys emit no FDs (trivially determine everything) and, having
+        # maximal count, make every superset non-free — drop them here
+        lhs_sets = [s for s in free if cd[s] < n]
+        if not lhs_sets:
+            break
+        # FD tests: count every non-implied extension in ONE job
+        pairs = []
+        need = set()
+        for s in lhs_sets:
+            for a in cols:
+                if a in s:
+                    continue
+                if any(set(prev) <= set(s) for prev in found[a]):
+                    continue  # Y ⊆ s already determines a — s∪{a} non-free
+                ext = tuple(sorted({*s, a}))
+                pairs.append((s, a, ext))
+                need.add(ext)
+        if need:
+            cd.update(_counts(df, sorted(need)))
+            counted += len(need)
+            jobs += 1
+        equal_exts: set[tuple[str, ...]] = set()
+        for s, a, ext in pairs:
+            if cd[ext] == cd[s]:
+                fds.append((s, a))
+                found[a].append(s)
+                equal_exts.add(ext)
+        if _level == max_lhs:
+            break
+        # next-level free sets — pure bookkeeping, no data touched:
+        # candidate X (|X| = level+1) is free iff every immediate subset is
+        # a free non-key set AND no subset's count equals count(X). Any
+        # subset pair (t, c) skipped above was skipped because some Y ⊆ t
+        # determines c, which forces count(X) == count(t) — non-free.
+        lhs_index = set(lhs_sets)
+        nxt = []
+        for ext in sorted(set(e for _, _, e in pairs) - equal_exts):
+            subsets = [tuple(x for x in ext if x != c) for c in ext]
+            if all(t in lhs_index for t in subsets) and all(
+                cd[ext] != cd[t] for t in subsets
+            ):
+                nxt.append(ext)
+        free = nxt
+
+    if stats is not None:
+        stats["counted_sets"] = counted
+        stats["free_sets"] = free_total
+        stats["jobs"] = jobs
+    return sorted(fds)

@@ -1,18 +1,20 @@
-"""FD discovery, four strategies, one answer — mirrors the reference's
+"""FD discovery, five strategies, one answer — mirrors the reference's
 algorithm selection surface (`algorithm_types.h:23-80`: tane / hyfd / dfd /
-fdep all mine the same minimal-FD set by different routes):
+fdep / fun all mine the same minimal-FD set by different routes):
 
 - TANE       levelwise lattice, one batched distinct-count job per level
 - HyFD       sampled negative cover + batched validation of survivors
 - FDep       complete agree-set cover by counting + driver inversion
 - DFD        lockstep random walks with subset/superset inference
+- FUN        free-set lattice, node-level count pruning, Expand-free jobs
 
-All four are exact and must agree bit-for-bit."""
+All five are exact and must agree bit-for-bit."""
 
 from __future__ import annotations
 
 from desbordante_spark.discovery.dfd import discover_fds_dfd
 from desbordante_spark.discovery.fdep import discover_fds_fdep
+from desbordante_spark.discovery.fun import discover_fds_fun
 from desbordante_spark.discovery.hyfd import discover_fds_hybrid
 from desbordante_spark.discovery.tane import discover_fds
 
@@ -29,17 +31,18 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
         ("hyfd", lambda df: discover_fds_hybrid(df, max_lhs=2)),
         ("fdep", lambda df: discover_fds_fdep(df, max_lhs=2)),
         ("dfd", lambda df: discover_fds_dfd(df, max_lhs=2)),
+        ("fun", lambda df: discover_fds_fun(df, max_lhs=2)),
     ]:
         results[name] = miner(orders)
         print(f"{name:>5}: {len(results[name])} minimal FDs")
 
     assert (
-        results["tane"] == results["hyfd"]
-        == results["fdep"] == results["dfd"]
+        results["tane"] == results["hyfd"] == results["fdep"]
+        == results["dfd"] == results["fun"]
     ), "strategies disagree"
     for lhs, rhs in results["tane"][:8]:
         print(f"  {{{', '.join(lhs) or '∅'}}} -> {rhs}")
-    print("all four strategies agree")
+    print("all five strategies agree")
 
 
 if __name__ == "__main__":

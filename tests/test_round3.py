@@ -736,3 +736,50 @@ def test_ivf_refined_centroids_recall(spark):
     print(f"IVF recall@10: seeds={r_plain:.3f} refined={r_ref:.3f}")
     assert r_ref >= r_plain - 0.05  # refinement must not collapse recall
     assert r_ref >= 0.45
+
+
+# ----------------------------------------- FUN free-set discovery
+
+def test_discover_fds_fun_equals_tane(spark):
+    from desbordante_spark.discovery.fun import discover_fds_fun
+    from desbordante_spark.discovery.tane import discover_fds
+
+    rows = [(i, i % 4, "const", f"v{(i % 4) * 2}", i % 2) for i in range(24)]
+    rows += [rows[0]]  # duplicate row: no column set is a key
+    df = spark.createDataFrame(rows, "a int, b int, c string, d string, e int")
+    st = {}
+    assert (discover_fds_fun(df, max_lhs=2, stats=st)
+            == discover_fds(df, max_lhs=2))
+    assert st["jobs"] <= 4  # count + level-1 + two extension jobs
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert discover_fds_fun(orders, max_lhs=2) == discover_fds(
+        orders, max_lhs=2
+    )
+
+
+def test_discover_fds_fun_golden_testfd(spark, testfd):
+    from desbordante_spark.discovery.fun import discover_fds_fun
+    from desbordante_spark.discovery.tane import discover_fds
+
+    cols = [f"Col{i}" for i in range(6)]
+    assert (discover_fds_fun(testfd, cols, max_lhs=3)
+            == discover_fds(testfd, cols, max_lhs=3))
+
+
+def test_fun_free_set_prune_shrinks_lattice(spark):
+    from desbordante_spark.discovery.fun import discover_fds_fun
+
+    # b == c == d pairwise-equivalent: every 2+-set mixing them is
+    # non-free, so the level-2/3 lattice above the trio must vanish.
+    rows = [(i, i % 5, i % 5, i % 5, (i * 7) % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int, e int")
+    st = {}
+    fds = discover_fds_fun(df, max_lhs=3, stats=st)
+    assert (("b",), "c") in fds and (("c",), "b") in fds
+    # full lattice would count C(5,1)+C(5,2)+C(5,3) = 25 LHS sets plus
+    # extensions; the free-set prune must stay well under that
+    assert st["free_sets"] <= 12
+    assert all(not ({"b", "c", "d"} <= set(lhs)) for lhs, _ in fds)
