@@ -27,6 +27,18 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 
 
+def as_cols(x) -> list[str]:
+    """Normalize a column-set argument: a bare string means ONE column.
+
+    Every verifier takes ``Sequence[str]`` column sets; without this guard
+    a caller passing ``"o_custkey"`` would have the string iterated
+    character-by-character into nonsense column names (and fail with an
+    unrelated UNRESOLVED_COLUMN error deep inside the plan)."""
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
 @dataclass
 class VerificationResult:
     """Base verdict: pass/fail + error measure + violation evidence."""

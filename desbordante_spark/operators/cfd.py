@@ -19,7 +19,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from desbordante_spark.model import FDResult
+from desbordante_spark.model import as_cols, FDResult
 from desbordante_spark.operators.fd import fd_metrics_df, fd_violations
 
 __all__ = ["cfd_verify", "cfd_metrics_df", "cfd_tableau_metrics_df",
@@ -75,6 +75,8 @@ def cfd_tableau_metrics_df(
     num_violating_rows, error, confidence, holds)`` — ``holds`` requires
     confidence ≥ 1 − error_threshold AND support ≥ min_support.
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     tableau = list(tableau)
     if not tableau:
         raise ValueError("empty tableau")
@@ -127,6 +129,8 @@ def cfd_tableau_verify(
 ) -> FDResult:
     """Combined tableau verdict: the CFD holds iff EVERY pattern row holds
     (per-pattern support/confidence in ``details["patterns"]``)."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     rows = cfd_tableau_metrics_df(
         df, lhs, rhs, tableau, error_threshold, min_support
     ).collect()
@@ -159,6 +163,8 @@ def cfd_metrics_df(
 ) -> DataFrame:
     """One-row verdict DataFrame for the CFD: FD metrics on the
     pattern-filtered subset, plus ``support``/``confidence`` columns."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     sub = _apply_pattern(df, pattern or {})
     if rhs_constant is not None:
         if len(rhs) != 1:
@@ -203,6 +209,8 @@ def cfd_verify(
 ) -> FDResult:
     """CFD verdict: FD result over the pattern subset (variable CFD) or
     constant-agreement result (constant CFD)."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     row = cfd_metrics_df(
         df, lhs, rhs, pattern, rhs_constant, error_threshold
     ).collect()[0]

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from desbordante_spark.model import as_cols
+
 __all__ = [
     "fd_state_init",
     "state_apply",
@@ -37,11 +39,14 @@ __all__ = [
 
 def fd_state_init(df: DataFrame, lhs: Sequence[str], rhs: Sequence[str]) -> DataFrame:
     """Initial FD state: ``(lhs..., rhs..., cnt)`` level-1 counts."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     return df.groupBy(*lhs, *rhs).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def ucc_state_init(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Initial UCC state: ``(X..., cnt)`` key counts."""
+    columns = as_cols(columns)
     return df.groupBy(*columns).agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -84,6 +89,8 @@ def fd_metrics_from_state(
 ) -> DataFrame:
     """FD verdict from the count state — same g1 rollup as
     ``fd_metrics_df`` (level-2 aggregation over the state)."""
+    lhs = as_cols(lhs)
+    by = as_cols(by) if by else []
     by = list(by)
     lvl2 = state.groupBy(*by, *lhs).agg(
         F.sum("cnt").alias("cluster_size"),
@@ -128,6 +135,7 @@ def ucc_metrics_from_state(
 ) -> DataFrame:
     """UCC verdict from the key-count state — same AUCC rollup as
     ``ucc_metrics_df``."""
+    by = as_cols(by) if by else []
     by = list(by)
     viol = F.col("cnt") > 1
     agg = state.groupBy(*by).agg(

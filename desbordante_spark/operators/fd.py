@@ -33,7 +33,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from desbordante_spark.model import FDResult
+from desbordante_spark.model import as_cols, FDResult
 
 __all__ = ["fd_violations", "fd_verify", "fd_highlights", "fd_metrics_df",
            "pfd_metrics_df", "HIGHLIGHT_SORT_KEYS"]
@@ -115,6 +115,8 @@ def fd_violations(
     """Violating LHS clusters: ``(X..., cluster_size, num_distinct_rhs,
     most_frequent_rhs_proportion, conflict_pairs)`` — highlight-style rows
     (highlight.h:11-35) without the per-row lists."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     stats = _cluster_stats(df, lhs, rhs, is_null_equal_null, row_id)
     return stats.filter(F.col("num_distinct_rhs") > 1).select(
         *lhs,
@@ -143,6 +145,9 @@ def fd_metrics_df(
     num_violating_clusters, num_violating_rows, error, holds)`` — one row per
     ``by`` group (per-partition verdicts), global single row when empty.
     g1 error, int holds, cross-engine comparable."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
+    by = as_cols(by) if by else []
     by = list(by)
     stats = _cluster_stats(df, list(by) + list(lhs), rhs, is_null_equal_null,
                            row_id)
@@ -198,6 +203,9 @@ def pfd_metrics_df(
 
     Output: ``(by..., total_rows, num_clusters, error, holds)``.
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
+    by = as_cols(by) if by else []
     if error_measure not in ("per_tuple", "per_value"):
         raise ValueError(f"unknown error_measure {error_measure!r}")
     by = list(by)
@@ -246,6 +254,8 @@ def fd_verify(
     ``holds`` is exact-FD (no violating cluster) when ``error_threshold == 0``
     else the AFD comparison ``g1 <= threshold``.
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     m = fd_metrics_df(
         df, lhs, rhs, error_threshold, is_null_equal_null, row_id
     ).collect()[0]
@@ -295,6 +305,8 @@ def fd_highlights(
     ``sort_by`` (default: most-frequent-RHS proportion descending,
     fd_verifier.cpp:55).
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     key = HIGHLIGHT_SORT_KEYS[sort_by]
     viol = fd_violations(df, lhs, rhs, is_null_equal_null, row_id).alias("v")
     rows = _lhs_base(df, lhs, is_null_equal_null).select(*lhs, row_id).alias("r")

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from desbordante_spark.model import INDResult
+from desbordante_spark.model import as_cols, INDResult
 
 __all__ = ["ind_missing_values", "ind_verify", "ind_metrics_df",
            "ind_approx_check"]
@@ -49,6 +49,8 @@ def ind_missing_values(
 ) -> DataFrame:
     """Distinct LHS value combinations absent from the RHS, with their row
     support: ``(X..., ref_count)``. Empty ⇒ the IND holds."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     lhs = list(lhs)
     rhs = list(rhs)
     left = (
@@ -81,6 +83,9 @@ def ind_metrics_df(
     dimension) classifies each distinct LHS value in one pass — no separate
     anti-join + count jobs.
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
+    by = as_cols(by) if by else []
     lhs = list(lhs)
     rhs = list(rhs)
     by = list(by)
@@ -188,6 +193,8 @@ def ind_verify(
     ``num_violating_rows`` = # LHS rows referencing a missing value,
     ``total_rows`` = # distinct non-null LHS values.
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     lhs = list(lhs)
     m = ind_metrics_df(
         lhs_df, lhs, rhs_df, rhs, error_threshold, broadcast_rhs

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from desbordante_spark.model import MFDResult
+from desbordante_spark.model import as_cols, MFDResult
 
 __all__ = ["mfd_cluster_diameters", "mfd_highlights", "mfd_verify"]
 
@@ -195,6 +195,8 @@ def mfd_cluster_diameters(
     max_points: int = 2000,
 ) -> DataFrame:
     """Per-X-cluster Y diameter: ``(X..., cluster_size, diameter, approximate)``."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     lhs = list(lhs)
     rhs = list(rhs)
     if metric == "euclidean" and len(rhs) == 1:
@@ -236,6 +238,8 @@ def mfd_highlights(
     grid, no pairs) and ``levenshtein`` (within-cluster distinct-value
     self-join, JVM ``levenshtein()``).
     """
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     lhs = list(lhs)
     if metric == "euclidean":
         if len(rhs) != 1:
@@ -325,6 +329,8 @@ def mfd_verify(
     """Full MFD verdict (mfd_holds + highlights,
     bind_mfd_verification.cpp:21-27). ``error`` = fraction of clusters whose
     diameter exceeds ``parameter``; violations = those clusters."""
+    lhs = as_cols(lhs)
+    rhs = as_cols(rhs)
     diam = mfd_cluster_diameters(
         df, lhs, rhs, metric, q, dist_from_null_is_infinity
     )

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from desbordante_spark.model import UCCResult
+from desbordante_spark.model import as_cols, UCCResult
 
 __all__ = ["ucc_violations", "ucc_verify", "ucc_violating_clusters", "ucc_metrics_df"]
 
@@ -57,6 +57,7 @@ def ucc_violations(
     This is the scale path for e.g. the 10^12-row ``doc_id`` uniqueness check:
     partial-agg + AQE-coalesced exchange; output is only the duplicate keys.
     """
+    columns = as_cols(columns)
     base = _base(df, columns, is_null_equal_null)
     return (
         base.groupBy(*columns)
@@ -79,6 +80,8 @@ def ucc_metrics_df(
     or a single global row when ``by`` is empty. ``holds`` is int (1/0) for
     cross-engine comparability. ``salt > 1`` forces an explicit salted
     two-phase aggregation (see inline note)."""
+    columns = as_cols(columns)
+    by = as_cols(by) if by else []
     by = list(by)
     base = _base(df, columns, is_null_equal_null)
     if salt and salt > 1:
@@ -146,6 +149,7 @@ def ucc_verify(
     ``error_threshold > 0`` turns this into AUCC verification: holds iff
     ``error <= threshold``.
     """
+    columns = as_cols(columns)
     m = ucc_metrics_df(df, columns, is_null_equal_null, error_threshold).collect()[0]
     n = int(m["total_rows"])
     error = float(m["error"])
@@ -189,6 +193,7 @@ def ucc_violating_clusters(
     a mostly-unique key that is a tiny fraction of the input. The per-key cap
     bounds what the downstream ``collect_list`` aggregates.
     """
+    columns = as_cols(columns)
     cols = list(columns)
     dup = ucc_violations(df, cols, is_null_equal_null).alias("d")  # (X..., cnt)
     rows = _base(df, cols, is_null_equal_null).select(*cols, row_id).alias("r")

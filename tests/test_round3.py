@@ -783,3 +783,17 @@ def test_fun_free_set_prune_shrinks_lattice(spark):
     # extensions; the free-set prune must stay well under that
     assert st["free_sets"] <= 12
     assert all(not ({"b", "c", "d"} <= set(lhs)) for lhs, _ in fds)
+
+
+def test_bare_string_column_args_ok(spark, testfd):
+    """A bare string column-set arg must mean ONE column, not be iterated
+    character-by-character (as_cols normalization at every verifier)."""
+    from desbordante_spark.operators.fd import fd_verify
+    from desbordante_spark.operators.ucc import ucc_verify
+
+    a = fd_verify(testfd, "Col0", "Col1")
+    b = fd_verify(testfd, ["Col0"], ["Col1"])
+    assert (a.holds, a.error) == (b.holds, b.error)
+    u = ucc_verify(testfd, "Col5")
+    v = ucc_verify(testfd, ["Col5"])
+    assert (u.holds, u.num_violating_clusters) == (v.holds, v.num_violating_clusters)
