@@ -52,6 +52,8 @@ def sample_agree_sets(
     columns: list[str],
     max_agree_sets: int = 10_000,
     sample_fraction: float | None = None,
+    offset: int = 1,
+    content_order: bool = False,
 ) -> list[tuple[frozenset[str], int]]:
     """HyFD Sampler: agree sets of cluster-neighbor row pairs, every column
     in ONE job. Returns ``[(agreeing column set, pair count), ...]`` ordered
@@ -61,12 +63,24 @@ def sample_agree_sets(
     negative cover, leaving more work to the validator). Column agreement is
     tested on null-safe string casts — injective per column for the standard
     types, so a sampled refutation is a true refutation; every surviving
-    candidate is re-checked exactly by the validator."""
+    candidate is re-checked exactly by the validator.
+
+    ``offset`` pairs each row with its ``offset``-th cluster neighbor
+    instead of the immediate one — successive offsets are DISJOINT pair
+    samples, the growth schedule of the AID-style rounds
+    (discovery/aid.py). ``content_order=True`` sorts clusters by a hash of
+    the full row instead of ``monotonically_increasing_id`` so the sampled
+    pair set is a pure function of the data (partition-layout independent;
+    required when the caller's OUTPUT depends on the sample, as in AID —
+    the hybrid validator path doesn't need it)."""
     cols = list(columns)
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=42)
     vals = F.array(*[F.col(c).cast("string") for c in cols])
-    rid = F.monotonically_increasing_id()
+    rid = (
+        F.xxhash64(F.col("v")) if content_order
+        else F.monotonically_increasing_id()
+    )
     base = df.select(vals.alias("v")).withColumn("_rid", rid)
     # one exploded frame: row i appears once per column, keyed by that
     # column's value — neighbor pairing inside each (column, value) cluster
@@ -79,7 +93,7 @@ def sample_agree_sets(
         "_rid", "v", F.explode(F.array(*structs)).alias("k")
     ).select("_rid", "v", "k.c", "k.val")
     w = Window.partitionBy("c", "val").orderBy("_rid")
-    paired = e.withColumn("nv", F.lead("v").over(w)).filter(
+    paired = e.withColumn("nv", F.lead("v", int(offset)).over(w)).filter(
         F.col("nv").isNotNull()
     )
     agree = F.concat_ws(

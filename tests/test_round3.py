@@ -797,3 +797,40 @@ def test_bare_string_column_args_ok(spark, testfd):
     u = ucc_verify(testfd, "Col5")
     v = ucc_verify(testfd, ["Col5"])
     assert (u.holds, u.num_violating_clusters) == (v.holds, v.num_violating_clusters)
+
+
+# ----------------------------------------- AID-FD sample-only discovery
+
+def test_discover_fds_aid_generalization_guarantee(spark):
+    from desbordante_spark.discovery.aid import discover_fds_aid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    rows = [(i, i % 4, "const", f"v{(i % 4) * 2}", i % 2) for i in range(24)]
+    rows += [rows[0]]
+    df = spark.createDataFrame(rows, "a int, b int, c string, d string, e int")
+    st = {}
+    aid = discover_fds_aid(df, max_lhs=2, stats=st)
+    true = discover_fds(df, max_lhs=2)
+    # refutation soundness: every true minimal FD is reported, possibly
+    # with a more general (subset) LHS
+    for lhs, rhs in true:
+        assert any(r == rhs and set(l) <= set(lhs) for l, r in aid), (lhs, rhs)
+    assert st["rounds"] >= 1 and st["agree_sets"] > 0
+    # deterministic: identical output on a second run
+    assert aid == discover_fds_aid(df, max_lhs=2)
+
+
+def test_discover_fds_aid_converges_to_exact_on_small(spark, testfd):
+    from desbordante_spark.discovery.aid import discover_fds_aid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    cols = [f"Col{i}" for i in range(6)]
+    st = {}
+    aid = discover_fds_aid(testfd, cols, max_lhs=2, max_rounds=12, stats=st)
+    true = discover_fds(testfd, cols, max_lhs=2)
+    for lhs, rhs in true:
+        assert any(r == rhs and set(l) <= set(lhs) for l, r in aid)
+    # no fabricated RHS directions: every reported rhs with empty lhs is
+    # a real constant
+    consts = {r for l, r in true if l == ()}
+    assert {r for l, r in aid if l == ()} == consts
