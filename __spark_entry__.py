@@ -145,6 +145,27 @@ def _q_ind_missing_events_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_type_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference typed-column deduction (typed_column_data.cpp:24-81) over
+    # string-cast orders columns plus crafted double / mixed / null-bearing
+    # columns — one exploded aggregation, regex classes identical in DuckDB
+    from desbordante_spark.operators.schema_infer import type_profile
+
+    o = _read(spark, sf_dir, "orders").selectExpr(
+        "cast(o_orderkey as string) as ok",
+        "cast(o_orderdate as string) as od",
+        "o_orderstatus as st",
+        "concat(cast(o_orderkey % 1000 as string), '.',"
+        " cast(o_custkey % 100 as string)) as dbl",
+        "case when o_orderkey % 2 = 0 then cast(o_custkey as string)"
+        " else o_orderstatus end as mix",
+        "case when o_orderkey % 3 = 0 then 'NULL'"
+        " when o_orderkey % 3 = 1 then ''"
+        " else cast(o_custkey as string) end as nully",
+    )
+    return type_profile(o).withColumnRenamed("column", "col_name")
+
+
 def _q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1037,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
         "stats_profile_lineitem": _q_stats_profile_lineitem,
+        "type_inference_orders": _q_type_inference_orders,
         "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
         "word_stats_documents": _q_word_stats_documents,
         "top_words_documents": _q_top_words_documents,
@@ -1946,8 +1968,78 @@ FROM c{i} {where}""")
         + " UNION ALL ".join(branches)
 
 
+
+
+_TYPE_INFER_SQL = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS ok,
+         CAST(o_orderdate AS VARCHAR) AS od,
+         o_orderstatus AS st,
+         CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+           CAST(o_custkey % 100 AS VARCHAR) AS dbl,
+         CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS VARCHAR)
+              ELSE o_orderstatus END AS mix,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'NULL'
+              WHEN o_orderkey % 3 = 1 THEN ''
+              ELSE CAST(o_custkey AS VARCHAR) END AS nully
+  FROM orders),
+vals AS (
+  SELECT 'ok' AS col_name, ok AS val FROM src UNION ALL
+  SELECT 'od', od FROM src UNION ALL
+  SELECT 'st', st FROM src UNION ALL
+  SELECT 'dbl', dbl FROM src UNION ALL
+  SELECT 'mix', mix FROM src UNION ALL
+  SELECT 'nully', nully FROM src),
+classed AS (
+  SELECT col_name,
+         (val IS NULL OR val = 'NULL') AS is_null,
+         (val IS NOT NULL AND val = '') AS is_empty,
+         CASE
+           WHEN regexp_matches(val, '^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$') THEN 'date'
+           WHEN regexp_matches(val, '^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$') THEN 'udate'
+           WHEN regexp_matches(val, '^[+-]?[0-9]{1,19}$') THEN 'int'
+           WHEN regexp_matches(val, '^[+-]?[0-9]{20,}$') THEN 'bigint'
+           WHEN regexp_matches(val, '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$') THEN 'double'
+           ELSE 'string' END AS cls
+  FROM vals),
+masked AS (
+  SELECT col_name, is_null, is_empty,
+         CASE WHEN is_null OR is_empty THEN NULL ELSE cls END AS cls,
+         CASE WHEN is_null OR is_empty THEN 31
+              WHEN cls = 'date' THEN 1
+              WHEN cls = 'udate' THEN 15
+              WHEN cls = 'int' THEN 14
+              WHEN cls = 'bigint' THEN 12
+              WHEN cls = 'double' THEN 8
+              ELSE 16 END AS mask
+  FROM classed),
+agg AS (
+  SELECT col_name, bit_and(mask) AS mask,
+         CAST(count(CASE WHEN cls IS NOT NULL THEN 1 END) AS BIGINT) AS n_values,
+         CAST(count(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null,
+         CAST(count(CASE WHEN NOT is_null AND is_empty THEN 1 END) AS BIGINT) AS n_empty,
+         CAST(count(CASE WHEN cls IN ('date','udate') THEN 1 END) AS BIGINT) AS n_date,
+         CAST(count(CASE WHEN cls = 'int' THEN 1 END) AS BIGINT) AS n_int,
+         CAST(count(CASE WHEN cls = 'bigint' THEN 1 END) AS BIGINT) AS n_bigint,
+         CAST(count(CASE WHEN cls = 'double' THEN 1 END) AS BIGINT) AS n_double,
+         CAST(count(CASE WHEN cls = 'string' THEN 1 END) AS BIGINT) AS n_string
+  FROM masked GROUP BY col_name)
+SELECT col_name,
+       CASE WHEN n_values = 0 THEN 'undefined'
+            WHEN (mask & 1) > 0 THEN 'date'
+            WHEN (mask & 2) > 0 THEN 'int'
+            WHEN (mask & 4) > 0 THEN 'bigint'
+            WHEN (mask & 8) > 0 THEN 'double'
+            WHEN (mask & 16) > 0 THEN 'string'
+            ELSE 'mixed' END AS inferred_type,
+       n_values, n_null, n_empty, n_date, n_int, n_bigint, n_double, n_string
+FROM agg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "type_inference_orders": _TYPE_INFER_SQL,
         "ucc_violations_orders_custkey": (
             "SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders "
             "GROUP BY o_custkey HAVING count(*) > 1"

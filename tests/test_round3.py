@@ -834,3 +834,40 @@ def test_discover_fds_aid_converges_to_exact_on_small(spark, testfd):
     # a real constant
     consts = {r for l, r in true if l == ()}
     assert {r for l, r in aid if l == ()} == consts
+
+
+# ----------------------------------------- schema/type inference
+
+def test_type_profile_deduction(spark):
+    """Mirrors typed_column_data.cpp:24-81 candidate narrowing: int+double
+    → double, undelimited dates alone → date, undelimited+int → int,
+    int+string → mixed, all null/empty → undefined, 20+-digit → bigint."""
+    from desbordante_spark.operators.schema_infer import type_profile
+
+    rows = [
+        ("1",  "1.5", "2004-01-01", "20040101", "abc", "NULL",
+         "12345678901234567890123", "20040101"),
+        ("2",  "2",   "1999-12-31", "20051231", "7",   "",
+         "4",                       "99"),
+        ("-3", "3e2", "2000-02-29", "19990101", "x",   "NULL",
+         "9",                       "19990101"),
+    ]
+    df = spark.createDataFrame(
+        rows, "a string, b string, c string, d string, e string, "
+              "f string, g string, h string")
+    got = {r["column"]: r.asDict() for r in type_profile(df).collect()}
+    assert got["a"]["inferred_type"] == "int"
+    assert got["b"]["inferred_type"] == "double"
+    assert got["c"]["inferred_type"] == "date"
+    assert got["d"]["inferred_type"] == "date"     # undelimited-only
+    assert got["e"]["inferred_type"] == "mixed"
+    assert got["f"]["inferred_type"] == "undefined"
+    assert (got["f"]["n_null"], got["f"]["n_empty"]) == (2, 1)
+    assert got["g"]["inferred_type"] == "bigint"
+    assert got["h"]["inferred_type"] == "int"      # udate ∩ int = numeric
+    assert got["h"]["n_date"] == 2 and got["h"]["n_int"] == 1
+    # typed (non-string) input columns profile via their canonical cast
+    ints = spark.createDataFrame([(1, 2.5)], "x int, y double")
+    got2 = {r["column"]: r["inferred_type"]
+            for r in type_profile(ints).collect()}
+    assert got2["x"] == "int" and got2["y"] == "double"
