@@ -45,6 +45,8 @@ __all__ = [
     "table_stats",
     "mean_abs_deviation",
     "median_abs_deviation",
+    "central_moment",
+    "standardized_moment",
 ]
 
 _NUMERIC = (
@@ -330,6 +332,36 @@ def mean_abs_deviation(df: DataFrame, column: str) -> float:
     return float(
         df.agg(F.avg(F.abs(v - F.lit(float(mean))))).collect()[0][0]
     )
+
+
+def central_moment(
+    df: DataFrame, column: str, k: int, bessel_correction: bool = False
+) -> float:
+    """k-th central moment ``Σ(x−μ)^k / n`` (``n−1`` with Bessel) —
+    GetCentralMomentOfDist / CalculateCentralMoment
+    (data_stats.cpp:90-134). Two-pass like the reference: mean first, then
+    one aggregation of the powered differences."""
+    v = F.col(column).cast("double")
+    row = df.agg(F.avg(v).alias("m"),
+                 F.count(v).cast("long").alias("n")).collect()[0]
+    if row["m"] is None or row["n"] <= (1 if bessel_correction else 0):
+        return float("nan")
+    denom = row["n"] - 1 if bessel_correction else row["n"]
+    s = df.agg(
+        F.sum(F.pow(v - F.lit(float(row["m"])), F.lit(int(k))))
+    ).collect()[0][0]
+    return float(s) / denom
+
+
+def standardized_moment(df: DataFrame, column: str, k: int) -> float:
+    """k-th standardized central moment ``m_k / σ^k`` with σ the CORRECTED
+    (Bessel) standard deviation — GetStandardizedCentralMomentOfDist
+    (data_stats.cpp:136-146); ``k=3`` is the reference's skewness, ``k=4``
+    its kurtosis before the −3 excess correction."""
+    std = central_moment(df, column, 2, bessel_correction=True) ** 0.5
+    if std == 0 or std != std:
+        return float("nan")
+    return central_moment(df, column, k) / std**k
 
 
 def median_abs_deviation(

@@ -871,3 +871,30 @@ def test_type_profile_deduction(spark):
     got2 = {r["column"]: r["inferred_type"]
             for r in type_profile(ints).collect()}
     assert got2["x"] == "int" and got2["y"] == "double"
+
+
+def test_central_and_standardized_moments(spark):
+    """data_stats.cpp:90-146 parity: m_k = Σ(x−μ)^k/n, Bessel m_2 feeds
+    the corrected STD, standardized m_3 is the reference skewness."""
+    import statistics as st
+
+    from desbordante_spark.operators.stats import (
+        central_moment,
+        standardized_moment,
+    )
+
+    xs = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    mu = sum(xs) / len(xs)
+    m2 = sum((x - mu) ** 2 for x in xs) / len(xs)
+    m3 = sum((x - mu) ** 3 for x in xs) / len(xs)
+    assert abs(central_moment(df, "v", 2) - m2) < 1e-9
+    assert abs(central_moment(df, "v", 3) - m3) < 1e-9
+    bessel2 = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    assert abs(central_moment(df, "v", 2, bessel_correction=True)
+               - bessel2) < 1e-9
+    assert abs(standardized_moment(df, "v", 3)
+               - m3 / st.stdev(xs) ** 3) < 1e-9
+    one = spark.createDataFrame([(5.0,)], "v double")
+    assert central_moment(one, "v", 2, bessel_correction=True) != \
+        central_moment(one, "v", 2, bessel_correction=True)  # NaN
