@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_sketch", "drift_metrics"]
+__all__ = ["histogram_sketch", "drift_metrics", "quantile_drift"]
 
 
 def histogram_sketch(
@@ -166,4 +166,93 @@ def drift_metrics(
         )
         .withColumn("drifted", (F.col("ks_stat") > ks_threshold).cast("int"))
         .filter(F.col("n_rows") > 0)
+    )
+
+
+def quantile_drift(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    probs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    baseline_partition: str | None = None,
+    rel_threshold: float = 0.1,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantile-sketch drift for CONTINUOUS columns — the companion to the
+    bucketized ``histogram_sketch`` path (north-rule: "histograms … and
+    t-digest sketches"; Spark's ``percentile_approx`` is the built-in
+    GK/QuantileSummaries mergeable quantile sketch filling the t-digest
+    role, so no custom UDAF is needed).
+
+    ONE data-sized job: ``groupBy(partition)`` computes every partition's
+    quantile vector (map-side mergeable sketches; output is |partitions|
+    tiny rows). The baseline vector is, by default, the cross-partition
+    MEDIAN of each quantile — robust: a minority of drifted partitions
+    cannot contaminate it, unlike a pooled whole-table baseline, so clean
+    partitions score ≈0 even when heavy drift exists elsewhere. With
+    ``baseline_partition`` set, that partition's vector is the baseline.
+    The drift score is the maximum quantile displacement normalized by the
+    baseline's inter-decile span:
+
+        max_q_shift = max_i |q_part[i] - q_base[i]| / (q_base[last] - q_base[first])
+
+    ``drifted`` <=> ``max_q_shift > rel_threshold``. Output: ``(partition,
+    n_rows, max_q_shift, drifted)``. Sketch values are engine-specific
+    (GK), so this operator is contract-tested in pytest, not against a SQL
+    oracle.
+    """
+    v = F.col(value_col).cast("double")
+    ps = [float(p) for p in probs]
+    if len(ps) < 2:
+        raise ValueError("need at least two probs to normalize the span")
+    sk = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(partition_col).cast("string").alias("partition"))
+        .agg(
+            F.percentile_approx(v, ps, accuracy).alias("q"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    # the sketch is tiny and referenced twice (baseline + join) — same
+    # eager-cache rationale as drift_metrics above
+    try:
+        sk = sk.cache()
+        sk.count()
+    except Exception:
+        pass
+    if baseline_partition is not None:
+        base = sk.filter(F.col("partition") == baseline_partition).select(
+            F.col("q").alias("bq"), F.col("n_rows").alias("n_baseline")
+        )
+        parts = sk.filter(F.col("partition") != baseline_partition)
+    else:
+        # per-prob median across partitions (tiny frame: |partitions| x
+        # |probs| rows), re-assembled into the baseline vector
+        base = (
+            sk.select(F.posexplode("q").alias("i", "qv"))
+            .groupBy("i")
+            .agg(F.median("qv").alias("mq"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "mq"))
+                ).alias("pairs"),
+            )
+            .select(
+                F.transform(F.col("pairs"), lambda p: p["mq"]).alias("bq"),
+                F.lit(None).cast("long").alias("n_baseline"),
+            )
+        )
+        parts = sk
+    span = F.col("bq")[len(ps) - 1] - F.col("bq")[0]
+    shift = F.array_max(
+        F.zip_with("q", "bq", lambda a, b: F.abs(a - b))
+    ) / F.when(span > 0, span).otherwise(F.lit(float("inf")))
+    return (
+        parts.crossJoin(F.broadcast(base))
+        .select(
+            "partition",
+            "n_rows",
+            F.round(shift, 6).alias("max_q_shift"),
+            (shift > F.lit(float(rel_threshold))).alias("drifted"),
+        )
     )
