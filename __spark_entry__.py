@@ -1995,8 +1995,13 @@ classed AS (
          (val IS NULL OR val = 'NULL') AS is_null,
          (val IS NOT NULL AND val = '') AS is_empty,
          CASE
-           WHEN regexp_matches(val, '^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$') THEN 'date'
-           WHEN regexp_matches(val, '^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$') THEN 'udate'
+           WHEN regexp_matches(val, '^[0-9]{4}[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12][0-9]|3[01])$')
+                AND try_cast(translate(val, '/.', '--') AS DATE) IS NOT NULL
+                AND substring(translate(val, '/.', '--'), 1, 4) >= '1400' THEN 'date'
+           WHEN regexp_matches(val, '^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$')
+                AND try_cast(substring(val, 1, 4) || '-' || substring(val, 5, 2)
+                             || '-' || substring(val, 7, 2) AS DATE) IS NOT NULL
+                AND substring(val, 1, 4) >= '1400' THEN 'udate'
            WHEN regexp_matches(val, '^[+-]?[0-9]{1,19}$') THEN 'int'
            WHEN regexp_matches(val, '^[+-]?[0-9]{20,}$') THEN 'bigint'
            WHEN regexp_matches(val, '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$') THEN 'double'

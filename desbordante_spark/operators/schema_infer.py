@@ -45,16 +45,43 @@ _ALL = 31
 _RE_INT = r"^[+-]?[0-9]{1,19}$"
 _RE_BIGINT = r"^[+-]?[0-9]{20,}$"
 _RE_DOUBLE = r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"
-_RE_DATE_DELIM = r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$"
+#: boost from_simple_string accepts -, / and . delimiters and 1-digit
+#: month/day (test_typed_column_data.cpp goldens: 2007/12/31, 2012.12.12,
+#: 2019-1-12 all deduce kDate)
+_RE_DATE_DELIM = (
+    r"^[0-9]{4}[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12][0-9]|3[01])$"
+)
 _RE_DATE_UNDELIM = r"^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"
 
 
 def _value_class(v):
     """Disjoint value class, reference checker precedence made
-    deterministic. ``v`` must be a string column expression."""
+    deterministic. ``v`` must be a string column expression. Dates are
+    calendar-checked like boost::gregorian (non-leap Feb 29 rejected,
+    years below 1400 out of range — test_typed_column_data.cpp goldens
+    '1900-02-29' / '1399-12-31' deduce String): the structural regex gates
+    the shape, then a ``try_cast`` of the dash-normalized form validates
+    the calendar identically in Spark and DuckDB."""
+    norm = F.translate(v, "/.", "--")
+    delim_date = (
+        v.rlike(_RE_DATE_DELIM)
+        & norm.try_cast("date").isNotNull()
+        & (F.substring(norm, 1, 4) >= "1400")
+    )
+    unorm = F.concat_ws(
+        "-",
+        F.substring(v, 1, 4),
+        F.substring(v, 5, 2),
+        F.substring(v, 7, 2),
+    )
+    undelim_date = (
+        v.rlike(_RE_DATE_UNDELIM)
+        & unorm.try_cast("date").isNotNull()
+        & (F.substring(v, 1, 4) >= "1400")
+    )
     return (
-        F.when(v.rlike(_RE_DATE_DELIM), F.lit("date"))
-        .when(v.rlike(_RE_DATE_UNDELIM), F.lit("udate"))
+        F.when(delim_date, F.lit("date"))
+        .when(undelim_date, F.lit("udate"))
         .when(v.rlike(_RE_INT), F.lit("int"))
         .when(v.rlike(_RE_BIGINT), F.lit("bigint"))
         .when(v.rlike(_RE_DOUBLE), F.lit("double"))

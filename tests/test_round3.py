@@ -925,3 +925,42 @@ def test_quantile_drift(spark):
                                     rel_threshold=0.2).collect()}
     assert set(got2) == {f"p{i}" for i in range(1, 8)}
     assert got2["p7"]["drifted"] and not got2["p1"]["drifted"]
+
+
+def test_type_profile_reference_goldens(spark):
+    """Transplants the reference's type-deduction golden suite
+    (src/tests/test_typed_column_data.cpp TypeSystem/TestTypeParsing) for
+    every fixture CSV present in the repo's reference checkout."""
+    from desbordante_spark.operators.schema_infer import type_profile
+
+    goldens = {
+        "WDC_appearances.csv": ["string", "mixed", "double"],
+        "WDC_age.csv": ["string", "string", "string"],
+        "WDC_kepler.csv": ["string", "double", "double", "double"],
+        "WDC_satellites.csv": ["string", "string", "mixed", "mixed",
+                               "mixed", "string", "string", "string"],
+        "CIPublicHighway700.csv": ["string", "string", "int", "int", "int",
+                                   "int", "int", "undefined", "undefined",
+                                   "undefined", "undefined", "int", "int",
+                                   "int", "int", "int", "undefined",
+                                   "undefined"],
+        "SimpleTypes.csv": ["undefined", "undefined", "undefined", "int",
+                            "string", "double", "bigint", "double",
+                            "bigint", "mixed", "int"],
+        "ACShippingDates.csv": ["mixed", "date", "date"],
+        "SimpleTypes1.csv": ["int", "string", "double", "mixed", "int",
+                             "date", "mixed"],
+    }
+    base = "/root/reference/test_input_data"
+    for fname, expected in goldens.items():
+        df = (
+            spark.read.option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')   # RFC4180 doubled-quote escaping
+            .csv(f"{base}/{fname}")
+        )
+        assert len(df.columns) == len(expected), fname
+        got = {r["column"]: r["inferred_type"]
+               for r in type_profile(df).collect()}
+        for col, want in zip(df.columns, expected):
+            assert got[col] == want, (fname, col, got[col], want)
