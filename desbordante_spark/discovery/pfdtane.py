@@ -5,7 +5,10 @@ Reference: PFDTane mines probabilistic FDs levelwise, scoring each candidate
 X → A with an error measure over the X-partition
 (/root/reference/src/core/algorithms/fd/pfdtane/, enums.h:6 — per_tuple =
 changed-row fraction, per_value = average per-cluster violation mass) and
-keeping minimal candidates under the threshold.
+keeping minimal candidates under the threshold. ``error_measure="g1"``
+scores with the classic pair-based g1 instead (stats_calculator.cpp:83) —
+the measure of the reference's AFD miners (fd/tane with error, fd/pyro),
+so Tane/Pyro-style AFD mining is this module with g1.
 
 Spark-first: ALL candidates of a level are scored in ONE job. Each row
 explodes to ``(candidate_id, lhs_key, rhs_value)`` tuples (row-local array —
@@ -65,7 +68,9 @@ def _score_level(
         F.count(F.lit(1)).alias("cnt")
     )
     lvl2 = lvl1.groupBy("cid", "xk").agg(
-        F.sum("cnt").alias("sz"), F.max("cnt").alias("keep")
+        F.sum("cnt").alias("sz"),
+        F.max("cnt").alias("keep"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("rhs_pairs"),
     )
     agg = lvl2.groupBy("cid").agg(
         F.sum("sz").alias("n"),
@@ -73,8 +78,19 @@ def _score_level(
         F.count(F.lit(1)).alias("nclusters"),
         F.sum(F.col("keep").cast("double") / F.col("sz").cast("double"))
         .alias("keep_frac"),
+        F.sum(F.col("sz") * (F.col("sz") - 1)).alias("lhs_pairs"),
+        F.sum("rhs_pairs").alias("rhs_pairs"),
     )
-    if error_measure == "per_tuple":
+    if error_measure == "g1":
+        # pair-based g1 (stats_calculator.cpp:83): conflicting ordered
+        # pairs / (n^2 - n) — the measure the reference's AFD miners
+        # (Tane/Pyro) and verifier share; exact integer pair counts
+        err = F.when(
+            F.col("n") > 1,
+            (F.col("lhs_pairs") - F.col("rhs_pairs")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double")),
+        ).otherwise(F.lit(0.0))
+    elif error_measure == "per_tuple":
         err = F.when(
             F.col("n") > 0,
             1.0 - F.col("keep").cast("double") / F.col("n").cast("double"),
@@ -111,7 +127,7 @@ def discover_afds(
     carries an exact error; the (documented) probabilistic risk is pruning a
     true AFD whose sample estimate exceeded the margin.
     """
-    if error_measure not in ("per_tuple", "per_value"):
+    if error_measure not in ("per_tuple", "per_value", "g1"):
         raise ValueError(f"unknown error_measure {error_measure!r}")
     cols = sorted(columns or df.columns)
     afds: list[tuple[tuple[str, ...], str, float]] = []

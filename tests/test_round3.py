@@ -964,3 +964,26 @@ def test_type_profile_reference_goldens(spark):
                for r in type_profile(df).collect()}
         for col, want in zip(df.columns, expected):
             assert got[col] == want, (fname, col, got[col], want)
+
+
+def test_discover_afds_g1_measure(spark, testfd):
+    """g1 AFD mining must agree with the verifier's g1 on every reported
+    candidate, and with exact FD discovery at error 0."""
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.tane import discover_fds
+    from desbordante_spark.operators.fd import fd_verify
+
+    cols = [f"Col{i}" for i in range(6)]
+    strict = discover_afds(testfd, cols, max_lhs=2, max_error=0.0,
+                           error_measure="g1")
+    assert sorted((l, r) for l, r, _ in strict) == discover_fds(
+        testfd, cols, max_lhs=2)
+    loose = discover_afds(testfd, cols, max_lhs=2, max_error=0.1,
+                          error_measure="g1")
+    assert len(loose) >= len(strict)
+    for lhs, rhs, err in loose:
+        if not lhs:
+            continue
+        v = fd_verify(testfd, list(lhs), [rhs])
+        assert abs(v.error - err) < 1e-12, (lhs, rhs)
+        assert err <= 0.1
