@@ -424,10 +424,11 @@ _ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
 
 def _fd_minimal_oracle() -> str:
     """Closed-form SQL for discover_fds(orders, max_lhs=2): all minimal FDs
-    with TANE's pruning rules — X → A reported iff d(X∪A) = d(X), no
-    discovered key ⊆ X, no proper subset of X already determines A, and A
-    isn't constant (then () → A is the minimal FD). One wide distinct-count
-    CTE + a UNION of condition probes."""
+    with the reference's semantics — X → A reported iff d(X∪A) = d(X), no
+    PROPER subset of X is a key or already determines A, and A isn't
+    constant (then () → A is the minimal FD). Key LHS themselves DO report
+    (README university_fd parity). One wide distinct-count CTE + a UNION of
+    condition probes."""
     from itertools import combinations
 
     cols = sorted(_ORDERS_COLS)
@@ -453,7 +454,7 @@ def _fd_minimal_oracle() -> str:
                 continue
             selects.append(
                 f"SELECT '{x}' AS lhs, '{a}' AS rhs FROM m"
-                f" WHERE {d(x, a)} = {d(x)} AND {d(x)} < n AND {d(a)} > 1"
+                f" WHERE {d(x, a)} = {d(x)} AND {d(a)} > 1"
             )
     for x, y in combinations(cols, 2):  # level 2
         for a in cols:
@@ -462,7 +463,7 @@ def _fd_minimal_oracle() -> str:
             selects.append(
                 f"SELECT '{x},{y}' AS lhs, '{a}' AS rhs FROM m"
                 f" WHERE {d(x, y, a)} = {d(x, y)}"
-                f" AND {d(x)} < n AND {d(y)} < n AND {d(x, y)} < n"
+                f" AND {d(x)} < n AND {d(y)} < n"
                 f" AND {d(x, a)} <> {d(x)} AND {d(y, a)} <> {d(y)}"
                 f" AND {d(a)} > 1"
             )

@@ -1,0 +1,780 @@
+"""``desbordante``-compatible API facade over the Spark engine.
+
+The reference exposes every algorithm through pybind11 as
+``desbordante.<family>.algorithms.<Name>`` objects with a three-step
+protocol — ``load_data(table=...)`` / ``execute(**options)`` / typed
+getters (``get_fds()``, ``ucc_holds()``, …) — documented de facto by
+``/root/reference/examples/*.py`` and bound in
+``/root/reference/src/python_bindings/``. This module reproduces that
+surface so reference scripts port by changing one import::
+
+    import desbordante_spark.compat as desbordante
+
+    algo = desbordante.fd.algorithms.Default()
+    algo.load_data(table=('data.csv', ',', True))
+    algo.execute()
+    for fd in algo.get_fds():
+        print(fd)                     # "[Col1 Col2] -> Col3"
+
+``table`` accepts the reference's ``(path, separator, has_header)`` tuple
+(read via pandas as strings — cell-for-cell the reference's CSV semantics,
+file order preserved, ``NULL``/empty kept verbatim), a pandas DataFrame, or
+a Spark DataFrame. The SparkSession is created lazily
+(``desbordante_spark.session.get_spark``); pass ``spark=`` to reuse one.
+
+Deviations, documented: results are plain Python dataclasses (not pybind
+handles) whose ``__str__`` matches the reference where it is printed in
+examples (FD ``Vertical::ToString`` form, fd.cpp:32-38); evidence lists
+(highlights, clusters) are capped at ``evidence_cap`` rows like the rest of
+the engine — counts stay exact. GFD verification and DataStats keep their
+first-class library surfaces (operators/gfd.py, operators/stats.py); they
+take DataFrames, not file tuples, so a facade adds nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+_DEFAULT_MAX_LHS = 4
+
+
+def _spark():
+    from desbordante_spark.session import get_spark
+
+    return get_spark(app_name="desbordante-spark-compat")
+
+
+def _load_table(table, spark=None):
+    """Reference table spec → Spark DataFrame of strings + ordered row ids.
+
+    Returns ``(df, row_id_col, columns)`` — ``row_id_col`` is a 0-based
+    file-order id column (None when a Spark DataFrame was passed, since it
+    carries no row order)."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(table, DataFrame):
+        return table, None, list(table.columns)
+    import pandas as pd
+
+    if isinstance(table, pd.DataFrame):
+        pdf = table.astype(object).where(pd.notna(table), None)
+    elif isinstance(table, tuple):
+        path, sep, has_header = table
+        pdf = pd.read_csv(
+            path, sep=sep, header=0 if has_header else None, dtype=str,
+            keep_default_na=False,
+        )
+        if not has_header:
+            pdf.columns = [f"col{i}" for i in range(len(pdf.columns))]
+        # the reference's empty cell stays '' and its NULL literal stays
+        # 'NULL'; both are "missing" to the type/constraint semantics
+        pdf = pdf.where(pdf != "", None)
+    else:
+        raise TypeError(
+            "table must be (path, sep, has_header), a pandas DataFrame or "
+            "a Spark DataFrame"
+        )
+    pdf = pdf.copy()
+    pdf["_rid"] = range(len(pdf))
+    sp = spark or _spark()
+    df = sp.createDataFrame(pdf)
+    return df, "_rid", [c for c in df.columns if c != "_rid"]
+
+
+@dataclass(frozen=True)
+class FD:
+    """A functional dependency; ``__str__`` is the reference's
+    ``Vertical::ToString() + " -> " + rhs`` (fd.cpp:32-38)."""
+
+    lhs: tuple[str, ...]
+    rhs: str
+    lhs_indices: tuple[int, ...] = ()
+    rhs_index: int = -1
+
+    def __str__(self):
+        return f"[{' '.join(self.lhs)}] -> {self.rhs}"
+
+
+@dataclass(frozen=True)
+class AFD(FD):
+    error: float = 0.0
+
+    def __str__(self):
+        return f"[{' '.join(self.lhs)}] -> {self.rhs} (error={self.error:.6f})"
+
+
+class _Algo:
+    """load_data/execute skeleton shared by every facade algorithm."""
+
+    def __init__(self):
+        self._df = None
+        self._rid = None
+        self._cols = []
+
+    def load_data(self, table=None, spark=None, **_kw):
+        self._df, self._rid, self._cols = _load_table(table, spark)
+        return self
+
+    def _names(self, indices):
+        return [self._cols[i] for i in indices]
+
+    def _fd_objects(self, pairs):
+        # reference Vertical order = schema position, not alphabetical
+        pos = {c: i for i, c in enumerate(self._cols)}
+        return [
+            FD(tuple(sorted(lhs, key=pos.get)), rhs,
+               tuple(sorted(pos[c] for c in lhs)), pos[rhs])
+            for lhs, rhs in pairs
+        ]
+
+
+# --------------------------------------------------------------- FD mining
+
+class _FdMiner(_Algo):
+    _strategy = "hyfd"
+
+    def execute(self, max_lhs: int | None = None, **_kw):
+        df = self._df.select(*self._cols)
+        k = max_lhs if max_lhs is not None else min(
+            _DEFAULT_MAX_LHS, max(1, len(self._cols) - 1)
+        )
+        if self._strategy == "tane":
+            from desbordante_spark.discovery.tane import discover_fds
+
+            fds = discover_fds(df, max_lhs=k)
+        elif self._strategy == "hyfd":
+            from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+
+            fds = discover_fds_hybrid(df, max_lhs=k)
+        elif self._strategy == "dfd":
+            from desbordante_spark.discovery.dfd import discover_fds_dfd
+
+            fds = discover_fds_dfd(df, max_lhs=k)
+        elif self._strategy == "fdep":
+            from desbordante_spark.discovery.fdep import discover_fds_fdep
+
+            fds = discover_fds_fdep(df, max_lhs=k)
+        elif self._strategy == "fun":
+            from desbordante_spark.discovery.fun import discover_fds_fun
+
+            fds = discover_fds_fun(df, max_lhs=k)
+        else:  # aid
+            from desbordante_spark.discovery.aid import discover_fds_aid
+
+            fds = discover_fds_aid(df, max_lhs=k)
+        self._fds = self._fd_objects(fds)
+        return self
+
+    def get_fds(self):
+        return self._fds
+
+
+class _fd:
+    class algorithms:
+        class HyFD(_FdMiner):
+            _strategy = "hyfd"
+
+        class Tane(_FdMiner):
+            _strategy = "tane"
+
+        class DFD(_FdMiner):
+            _strategy = "dfd"
+
+        class FDep(_FdMiner):
+            _strategy = "fdep"
+
+        class FastFDs(_FdMiner):
+            _strategy = "fdep"
+
+        class Depminer(_FdMiner):
+            _strategy = "fdep"
+
+        class FUN(_FdMiner):
+            _strategy = "fun"
+
+        class FdMine(_FdMiner):
+            _strategy = "fun"
+
+        class Aid(_FdMiner):
+            _strategy = "aid"
+
+        Default = HyFD  # algorithm_types.h: Default FD miner is HyFD
+
+
+class _AfdMiner(_Algo):
+    _sample: float | None = None
+    _measure = "g1"
+
+    def execute(self, error: float = 0.05, max_lhs: int | None = None,
+                error_measure: str | None = None, **_kw):
+        from desbordante_spark.discovery.pfdtane import discover_afds
+
+        k = max_lhs if max_lhs is not None else min(
+            _DEFAULT_MAX_LHS, max(1, len(self._cols) - 1)
+        )
+        afds = discover_afds(
+            self._df.select(*self._cols), max_lhs=k, max_error=error,
+            error_measure=error_measure or self._measure,
+            sample_fraction=self._sample,
+        )
+        pos = {c: i for i, c in enumerate(self._cols)}
+        self._fds = [
+            AFD(lhs, rhs, tuple(pos[c] for c in lhs), pos[rhs], err)
+            for lhs, rhs, err in afds
+        ]
+        return self
+
+    def get_fds(self):
+        return self._fds
+
+
+class _afd:
+    class algorithms:
+        class Tane(_AfdMiner):
+            pass
+
+        class Pyro(_AfdMiner):
+            _sample = 0.5  # sample-estimate + exact-confirm two-phase
+
+        Default = Pyro
+
+
+class _pfd:
+    class algorithms:
+        class PFDTane(_AfdMiner):
+            _measure = "per_tuple"
+
+        Default = PFDTane
+
+
+# -------------------------------------------------------------- UCC mining
+
+class _UccMiner(_Algo):
+    def execute(self, max_lhs: int | None = None, **_kw):
+        from desbordante_spark.discovery.tane import discover_uccs
+
+        k = max_lhs if max_lhs is not None else min(
+            _DEFAULT_MAX_LHS, len(self._cols)
+        )
+        self._uccs = discover_uccs(self._df.select(*self._cols), max_size=k)
+        return self
+
+    def get_uccs(self):
+        pos = {c: i for i, c in enumerate(self._cols)}
+        return [
+            FD(u, "", tuple(pos[c] for c in u)) for u in self._uccs
+        ]
+
+
+class _ucc:
+    class algorithms:
+        class HyUCC(_UccMiner):
+            pass
+
+        class PyroUCC(_UccMiner):
+            pass
+
+        Default = HyUCC
+
+
+# -------------------------------------------------------------- IND mining
+
+class _ind:
+    class algorithms:
+        class Spider(_Algo):
+            def load_data(self, tables=None, table=None, spark=None, **_kw):
+                specs = tables if tables is not None else [table]
+                self._tables = {}
+                for spec in specs:
+                    df, _rid, cols = _load_table(spec, spark)
+                    name = (
+                        spec[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                        if isinstance(spec, tuple) else f"t{len(self._tables)}"
+                    )
+                    self._tables[name] = df.select(*cols)
+                return self
+
+            def execute(self, error: float = 0.0, **_kw):
+                from desbordante_spark.discovery.spider import (
+                    discover_unary_inds,
+                )
+
+                self._inds = discover_unary_inds(
+                    self._tables, max_error=error
+                ).collect()
+                return self
+
+            def get_inds(self):
+                return self._inds
+
+        Default = Spider
+
+
+# ---------------------------------------------------------------- OD mining
+
+class _od:
+    class algorithms:
+        class Fastod(_Algo):
+            def execute(self, max_context: int = 1, **_kw):
+                from desbordante_spark.discovery.order import discover_ods_auto
+
+                rows = discover_ods_auto(
+                    self._df.select(*self._cols), max_context=max_context
+                ).collect()
+                self._ods = [r for r in rows if r["holds"]]
+                return self
+
+            def _fmt(self, r):
+                ctx = "{" + r["context"].replace(",", ", ") + "}"
+                return f"{ctx} : {r['lhs']} -> {r['rhs']} ({r['direction']})"
+
+            def get_asc_ods(self):
+                return [self._fmt(r) for r in self._ods
+                        if r["direction"] == "asc"]
+
+            def get_desc_ods(self):
+                return [self._fmt(r) for r in self._ods
+                        if r["direction"] == "desc"]
+
+            def get_simple_ods(self):
+                return [self._fmt(r) for r in self._ods]
+
+        class Order(_Algo):
+            def execute(self, **_kw):
+                from desbordante_spark.discovery.order import discover_ods
+
+                rows = discover_ods(self._df.select(*self._cols)).collect()
+                self._ods = [r for r in rows if r["holds"]]
+                return self
+
+            def get_list_ods(self):
+                return [f"{r['lhs']} -> {r['rhs']} ({r['direction']})"
+                        for r in self._ods]
+
+        Default = Fastod
+
+
+# ---------------------------------------------------------------- DD mining
+
+@dataclass(frozen=True)
+class DD:
+    lhs: tuple[tuple[str, float, float], ...]
+    rhs_col: str
+    lo: float
+    hi: float
+
+    def __str__(self):
+        left = " ; ".join(f"{c} [{lo:g}, {hi:g}]" for c, lo, hi in self.lhs)
+        return f"{left} -> {self.rhs_col} [{self.lo:g}, {self.hi:g}]"
+
+
+class _dd:
+    class algorithms:
+        class Split(_Algo):
+            def execute(self, difference_table=None, lhs_bounds=None,
+                        rhs_cols=None, min_pairs: int = 1, **_kw):
+                from desbordante_spark.discovery.split import discover_dds
+
+                constraints = []
+                if difference_table is not None:
+                    constraints = _parse_difference_table(difference_table)
+                elif lhs_bounds:
+                    constraints = [dict(lhs_bounds)]
+                else:
+                    raise ValueError(
+                        "pass difference_table=(path, sep, header) or "
+                        "lhs_bounds={col: (lo, hi)}"
+                    )
+                rid = self._rid
+                df = self._df
+                if rid is None:
+                    from pyspark.sql import functions as F
+
+                    rid = "_rid"
+                    df = df.withColumn(rid, F.monotonically_increasing_id())
+                self._dds = []
+                for bounds in constraints:
+                    cands = rhs_cols or [
+                        c for c in self._cols if c not in bounds
+                    ]
+                    rows = discover_dds(
+                        df, bounds, cands, rid, min_pairs=min_pairs
+                    ).collect()
+                    lhs = tuple(
+                        (c, lo, hi) for c, (lo, hi) in sorted(bounds.items())
+                    )
+                    self._dds += [
+                        DD(lhs, r["rhs_col"], r["lo"], r["hi"])
+                        for r in rows if r["holds"]
+                    ]
+                return self
+
+            def get_dds(self):
+                return self._dds
+
+        Default = Split
+
+
+def _parse_difference_table(spec):
+    """Reference difference-table format (examples/datasets/
+    flights_dd_dif_table.csv): header = column names; each row gives, per
+    column, a ``[lo;hi]`` difference constraint or ``---`` for
+    unrestricted. Each row becomes one LHS-bounds search."""
+    import csv as _csv
+
+    path, sep, has_header = spec
+    with open(path, newline="") as f:
+        rows = list(_csv.reader(f, delimiter=sep))
+    header = rows[0] if has_header else [f"col{i}" for i in range(len(rows[0]))]
+    body = rows[1:] if has_header else rows
+    out = []
+    for row in body:
+        bounds = {}
+        for col, cell in zip(header, row):
+            cell = cell.strip()
+            if cell.startswith("["):
+                lo, hi = cell.strip("[]").split(";")
+                bounds[col] = (float(lo), float(hi))
+        if bounds:
+            out.append(bounds)
+    return out
+
+
+# --------------------------------------------------------------- CFD mining
+
+class _cfd:
+    class algorithms:
+        class FDFirst(_Algo):
+            def execute(self, minsup: int = 1, minconf: float = 0.9,
+                        max_lhs: int = 2, **_kw):
+                from desbordante_spark.discovery.cfd_miner import discover_cfds
+
+                self._cfds = discover_cfds(
+                    self._df.select(*self._cols), min_support=minsup,
+                    min_confidence=minconf, max_lhs=max_lhs,
+                ).collect()
+                return self
+
+            def get_cfds(self):
+                return [f"({r['lhs_pattern']}) -> {r['rhs']}"
+                        for r in self._cfds]
+
+        Default = FDFirst
+
+
+# ---------------------------------------------------------------- AR mining
+
+@dataclass(frozen=True)
+class ARule:
+    left: list
+    right: list
+    confidence: float
+    support: float = 0.0
+
+    def __str__(self):
+        return f"{self.left} -> {self.right} (conf={self.confidence:.3f})"
+
+
+class _ar:
+    class algorithms:
+        class Apriori(_Algo):
+            def execute(self, minsup: float = 0.1, minconf: float = 0.5,
+                        input_format: str = "singular",
+                        tid_column_index: int = 0,
+                        item_column_index: int = 1, **_kw):
+                from desbordante_spark.operators.ar import (
+                    mine_association_rules,
+                    transactions_from,
+                )
+
+                df = self._df.select(*self._cols)
+                if input_format == "singular":
+                    tx = transactions_from(
+                        df, "singular",
+                        tid_col=self._cols[tid_column_index],
+                        item_col=self._cols[item_column_index],
+                    )
+                else:
+                    tx = transactions_from(
+                        df.withColumn("_tid", self._tid()), "tabular",
+                        tid_col="_tid", item_cols=self._cols,
+                    )
+                rows = mine_association_rules(
+                    tx, min_support=minsup, min_confidence=minconf
+                ).collect()
+                self._ars = [
+                    ARule(list(r["antecedent"]), list(r["consequent"]),
+                          float(r["confidence"]), float(r["support"]))
+                    for r in rows
+                ]
+                self._items = sorted(
+                    {i for r in self._ars for i in r.left + r.right}
+                )
+                return self
+
+            def _tid(self):
+                from pyspark.sql import functions as F
+
+                return (F.col(self._rid) if self._rid
+                        else F.monotonically_increasing_id())
+
+            def get_ars(self):
+                return self._ars
+
+            def get_itemnames(self):
+                return self._items
+
+        Default = Apriori
+
+
+# ---------------------------------------------------------------- AC mining
+
+class _ac:
+    class algorithms:
+        class AcAlgorithm(_Algo):
+            def execute(self, lhs_index: int = 0, rhs_index: int = 1,
+                        bin_operation: str = "+", weight: float = 0.05,
+                        **_kw):
+                from desbordante_spark.operators.ac import (
+                    ac_build_ranges,
+                    ac_exceptions,
+                )
+
+                a, b = self._cols[lhs_index], self._cols[rhs_index]
+                df = self._df
+                self._ranges = ac_build_ranges(
+                    df, a, b, op=bin_operation, weight=weight
+                )
+                self._exceptions = ac_exceptions(
+                    df, a, b, bin_operation, self._ranges
+                ).collect()
+                return self
+
+            def get_ac_ranges(self):
+                return self._ranges
+
+            def get_ac_exceptions(self):
+                return self._exceptions
+
+        Default = AcAlgorithm
+
+
+# --------------------------------------------------------- verification
+
+class _FdVerifierBase(_Algo):
+    _default_error = 0.0
+
+    def execute(self, lhs_indices=None, rhs_indices=None, error=None, **_kw):
+        from desbordante_spark.operators.fd import fd_verify
+
+        lhs = self._names(lhs_indices or [])
+        rhs = self._names(rhs_indices or [])
+        thr = error if error is not None else self._default_error
+        self._res = fd_verify(
+            self._df.select(*self._cols, *([self._rid] if self._rid else [])),
+            lhs, rhs, error_threshold=thr,
+            row_id=self._rid,
+        )
+        self._lhs, self._rhs = lhs, rhs
+        return self
+
+    def fd_holds(self):
+        return self._res.holds
+
+    def get_error(self):
+        return self._res.error
+
+    def get_num_error_clusters(self):
+        return self._res.num_violating_clusters
+
+    def get_num_error_rows(self):
+        return self._res.num_violating_rows
+
+    def get_highlights(self):
+        from desbordante_spark.operators.fd import fd_highlights
+
+        if self._rid is None:
+            return self._res.violations.collect()
+        return fd_highlights(
+            self._df, self._lhs, self._rhs, self._rid
+        ).collect()
+
+
+class _fd_verification:
+    class algorithms:
+        class FDVerifier(_FdVerifierBase):
+            pass
+
+        Default = FDVerifier
+
+
+class _afd_verification:
+    class algorithms:
+        class FDVerifier(_FdVerifierBase):
+            _default_error = 0.05
+
+        Default = FDVerifier
+
+
+class _UccVerifierBase(_Algo):
+    def execute(self, ucc_indices=None, error=None, **_kw):
+        from desbordante_spark.operators.ucc import (
+            ucc_verify,
+            ucc_violating_clusters,
+        )
+
+        cols = self._names(ucc_indices or [])
+        self._res = ucc_verify(
+            self._df, cols, error_threshold=error or 0.0, row_id=self._rid
+        )
+        self._clusters = (
+            [list(r["row_ids"]) for r in ucc_violating_clusters(
+                self._df, cols, self._rid).collect()]
+            if self._rid else None
+        )
+        return self
+
+    def ucc_holds(self):
+        return self._res.holds
+
+    def get_error(self):
+        return self._res.error
+
+    def get_num_clusters_violating_ucc(self):
+        return self._res.num_violating_clusters
+
+    def get_num_rows_violating_ucc(self):
+        return self._res.num_violating_rows
+
+    def get_clusters_violating_ucc(self):
+        if self._clusters is None:
+            raise ValueError(
+                "row-level clusters need a file/pandas table (row order); "
+                "a bare Spark DataFrame carries none"
+            )
+        return self._clusters
+
+
+class _ucc_verification:
+    class algorithms:
+        class UccVerifier(_UccVerifierBase):
+            pass
+
+        Default = UccVerifier
+
+
+class _aucc_verification:
+    class algorithms:
+        class UccVerifier(_UccVerifierBase):
+            pass
+
+        Default = UccVerifier
+
+
+class _mfd_verification:
+    class algorithms:
+        class MetricVerifier(_Algo):
+            def execute(self, lhs_indices=None, rhs_indices=None,
+                        metric: str = "euclidean", parameter: float = 1.0,
+                        metric_algorithm: str = "brute", q: int = 2, **_kw):
+                from desbordante_spark.operators.mfd import mfd_verify
+
+                self._res = mfd_verify(
+                    self._df, self._names(lhs_indices or []),
+                    self._names(rhs_indices or []),
+                    parameter=parameter, metric=metric, q=q,
+                )
+                return self
+
+            def mfd_holds(self):
+                return self._res.holds
+
+            def get_highlights(self):
+                return self._res.violations.collect()
+
+        Default = MetricVerifier
+
+
+class _dynamic_fd_verification:
+    class algorithms:
+        class DynamicFDVerifier(_Algo):
+            """CRUD-batch FD verification (operators/dynamic.py): the
+            count-state updates are bit-identical to re-verifying the
+            mutated table from scratch."""
+
+            def load_data(self, table=None, spark=None, lhs_indices=None,
+                          rhs_indices=None, **_kw):
+                super().load_data(table, spark)
+                from desbordante_spark.operators.dynamic import fd_state_init
+
+                self._lhs = self._names(lhs_indices or [])
+                self._rhs = self._names(rhs_indices or [])
+                self._state = fd_state_init(
+                    self._df.select(*self._cols), self._lhs, self._rhs
+                )
+                return self
+
+            def execute(self, insert=None, delete=None, update=None, **_kw):
+                from desbordante_spark.operators.dynamic import (
+                    fd_metrics_from_state,
+                    state_apply,
+                )
+
+                sp = self._df.sparkSession
+                ins = del_ = None
+                if insert is not None:
+                    ins, _r, _c = _load_table(insert, sp)
+                    ins = ins.select(*self._cols)
+                if update is not None:
+                    upd, _r, _c = _load_table(update, sp)
+                    # an update is delete(old row id)+insert(new values);
+                    # the reference updates by row id — here the caller
+                    # passes full old/new rows (documented deviation)
+                    ins = (ins.unionByName(upd.select(*self._cols))
+                           if ins is not None else upd.select(*self._cols))
+                if delete is not None:
+                    del_rows = [self._df.filter(
+                        self._df[self._rid].isin(list(delete))
+                    ).select(*self._cols)] if self._rid else []
+                    del_ = del_rows[0] if del_rows else None
+                self._state = state_apply(
+                    self._state, self._lhs + self._rhs,
+                    inserts=ins, deletes=del_,
+                )
+                self._metrics = fd_metrics_from_state(
+                    self._state, self._lhs
+                ).collect()[0]
+                return self
+
+            def fd_holds(self):
+                return bool(self._metrics["holds"])
+
+            def get_error(self):
+                return float(self._metrics["error"])
+
+        Default = DynamicFDVerifier
+
+
+fd = _fd
+afd = _afd
+pfd = _pfd
+ucc = _ucc
+ind = _ind
+od = _od
+dd = _dd
+cfd = _cfd
+ar = _ar
+ac = _ac
+fd_verification = _fd_verification
+afd_verification = _afd_verification
+ucc_verification = _ucc_verification
+aucc_verification = _aucc_verification
+mfd_verification = _mfd_verification
+dynamic_fd_verification = _dynamic_fd_verification
+
+__all__ = [
+    "FD", "AFD", "DD", "ARule",
+    "fd", "afd", "pfd", "ucc", "ind", "od", "dd", "cfd", "ar", "ac",
+    "fd_verification", "afd_verification", "ucc_verification",
+    "aucc_verification", "mfd_verification", "dynamic_fd_verification",
+]

@@ -174,16 +174,14 @@ def discover_fds_dfd(
             ext = tuple(sorted(node | {w.rhs}))
             w.classify(node, _DEP if cd[s] == cd[ext] else _NONDEP)
 
-    # minimal dependencies; superkey LHS suppressed (TANE parity)
+    # minimal dependencies (key LHS included — reference parity; proper
+    # superkeys are caught by the minimality filter)
     for w in walks:
         deps = [x for x, cls in w.status.items() if cls == _DEP]
         for x in deps:
             if any(y < x for y in deps):
                 continue
-            s = tuple(sorted(x))
-            if cd.get(s) == n:
-                continue
-            fds.append((s, w.rhs))
+            fds.append((tuple(sorted(x)), w.rhs))
     if stats is not None:
         stats["checked_nodes"] = checked
         stats["rounds"] = rounds

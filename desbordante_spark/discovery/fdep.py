@@ -36,8 +36,9 @@ Inversion to FDs (driver-side, data never touched again): for each RHS
 contain; specializing refuted candidates by columns OUTSIDE the refuting
 set yields exactly the minimal non-refuted sets = minimal valid FDs
 (FDep's positive cover; equivalently FastFDs' minimal hitting sets, since
-``X ⊄ A`` ⇔ ``X`` hits the difference set ``cols∖A``). Superkey LHS are
-dropped (``X`` is a key iff no agree set contains it) and constant columns
+``X ⊄ A`` ⇔ ``X`` hits the difference set ``cols∖A``). Key LHS appear when
+minimal — the inversion yields minimal valid sets, so proper superkeys
+never do (reference parity) — and constant columns
 report only as ``∅ → a`` — the same output contract as
 ``tane.discover_fds`` / ``hyfd.discover_fds_hybrid``.
 """
@@ -200,8 +201,6 @@ def discover_fds_fdep(
                 continue  # ∅ -> a only for constants (handled above)
             if x & constant:
                 continue
-            if is_superkey(x):
-                continue  # TANE parity: key-implied FDs are not reported
             fds.append((tuple(sorted(x)), a))
     if stats is not None:
         stats["agree_sets"] = len(agree_sets)

@@ -39,7 +39,7 @@ exactly ONE Spark job and the free-set decision is pure driver
 bookkeeping. Output contract (and order) is identical to
 ``tane.discover_fds`` / ``fdep.discover_fds_fdep`` /
 ``hyfd.discover_fds_hybrid``: minimal FDs as ``[(lhs_tuple, rhs)]``,
-constant columns as ``() -> a``, key LHS suppressed.
+constant columns as ``() -> a``, key-LHS FDs reported when minimal.
 """
 
 from __future__ import annotations
@@ -86,17 +86,15 @@ def discover_fds_fun(
             fds.append(((), c))
             found[c].append(())
 
-    keys: list[tuple[str, ...]] = []
     # free level-1 sets: count > |π_∅| = 1 (constants are non-free)
     free = [(c,) for c in cols if cd[(c,)] > 1]
 
     for _level in range(1, max_lhs + 1):
         free_total += len(free)
-        new_keys = [s for s in free if cd[s] == n]
-        keys.extend(new_keys)
-        # keys emit no FDs (trivially determine everything) and, having
-        # maximal count, make every superset non-free — drop them here
-        lhs_sets = [s for s in free if cd[s] < n]
+        # keys (count n) stay in the pair generation — their minimal FDs
+        # are reported like any other free set (reference parity); their
+        # supersets prune themselves (equal counts are never free)
+        lhs_sets = free
         if not lhs_sets:
             break
         # FD tests: count every non-implied extension in ONE job

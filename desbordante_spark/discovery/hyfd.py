@@ -28,8 +28,9 @@ Spark-first mapping:
 - **Validator = batched ``distinct_counts`` jobs** (the TANE primitive,
   one job per level over only the surviving candidates). A failed
   candidate specializes exactly as in the reference's Validator; a
-  confirmed FD prunes its supersets. Keys (|π_X| = n) suppress their
-  trivially-implied FDs, matching ``discover_fds`` output exactly.
+  confirmed FD prunes its supersets. Keys (|π_X| = n) report their own
+  minimal FDs — only their proper supersets are suppressed — matching
+  ``discover_fds`` output exactly.
 
 Results are EXACT (every reported FD passed an exact distinct-count
 equality); sampling only decides how much of the lattice the validator can
@@ -253,8 +254,8 @@ def discover_fds_hybrid(
             cands[a].discard(c)
             if cd[s] == n and c not in keys:
                 keys.append(c)
-            if any(k <= c for k in keys):
-                continue  # key LHS: implied FDs are not reported (tane parity)
+            if any(k < c for k in keys):
+                continue  # PROPER superset of a key: implied, non-minimal
             if any(f < c for f in confirmed[a]):
                 continue  # a smaller confirmed FD already determines a
             if cd[s] == cd[ext]:
@@ -262,7 +263,7 @@ def discover_fds_hybrid(
                 fds.append((s, a))
             else:
                 for child in _specialize(c, a, frozenset(), cols, max_lhs):
-                    if any(k <= child for k in keys):
+                    if any(k < child for k in keys):
                         continue
                     if any(f <= child for f in confirmed[a]):
                         continue

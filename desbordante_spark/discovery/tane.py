@@ -17,8 +17,10 @@ equalities exactly — the HyFD-style two-phase trade.
 The lattice bookkeeping (candidate generation, minimality pruning, key
 pruning) follows TANE's rules:
 - X → A is reported only if no proper subset Y ⊂ X has Y → A (minimality).
-- If X is a key (|π_X| = n), every X → A holds; X is reported as a UCC and
-  its supersets are pruned.
+- If X is a key (|π_X| = n), every X → A holds; X's own FDs are reported
+  when minimal (reference parity — README's university_fd output includes
+  key LHS like [Classroom Semester] -> Professor) and X's proper supersets
+  are pruned (their FDs are implied, never minimal).
 """
 
 from __future__ import annotations
@@ -204,8 +206,8 @@ def discover_fds(
             if cd_cache.get(s) == n:
                 keys.append(s)
         for s, a, ext in pairs:
-            if any(set(k) <= set(s) for k in keys):
-                continue  # key LHS: trivially determines everything
+            if any(set(k) < set(s) for k in keys):
+                continue  # PROPER superset of a key: implied, non-minimal
             if cd_cache[s] == cd_cache[ext]:
                 fds.append((s, a))
                 found[a].append(s)

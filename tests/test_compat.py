@@ -1,0 +1,136 @@
+"""The desbordante-compatible facade (desbordante_spark/compat.py) replayed
+against the reference's own example flows (/root/reference/examples/*.py)
+and the README's documented golden output."""
+
+from __future__ import annotations
+
+import pytest
+
+DS = "/root/reference/examples/datasets"
+
+
+@pytest.fixture(autouse=True)
+def _reuse_session(spark):
+    # compat creates a session lazily via get_spark(); the fixture session
+    # is the same singleton, so every facade call reuses it
+    yield
+
+
+def _norm(s):
+    lhs, rhs = s.split("] -> ")
+    return (frozenset(lhs[1:].split()), rhs)
+
+
+def test_compat_fd_mining_readme_golden():
+    """README.md:62-85 — mining_fd.py on university_fd.csv prints exactly
+    these seven FDs (key LHS included)."""
+    import desbordante_spark.compat as desbordante
+
+    algo = desbordante.fd.algorithms.Default()
+    algo.load_data(table=(f"{DS}/university_fd.csv", ",", True))
+    algo.execute()
+    got = {_norm(str(f)) for f in algo.get_fds()}
+    want = {
+        _norm(s) for s in [
+            "[Course Classroom] -> Professor",
+            "[Classroom Semester] -> Professor",
+            "[Classroom Semester] -> Course",
+            "[Professor] -> Course",
+            "[Professor Semester] -> Classroom",
+            "[Course Semester] -> Classroom",
+            "[Course Semester] -> Professor",
+        ]
+    }
+    assert got == want
+    # every strategy class agrees
+    for cls in (desbordante.fd.algorithms.Tane,
+                desbordante.fd.algorithms.FUN,
+                desbordante.fd.algorithms.FDep):
+        a = cls()
+        a.load_data(table=(f"{DS}/university_fd.csv", ",", True))
+        a.execute()
+        assert {_norm(str(f)) for f in a.get_fds()} == want, cls
+
+
+def test_compat_ucc_verification():
+    """verifying_ucc.py flow: First Name (index 1) is not unique."""
+    import desbordante_spark.compat as desbordante
+
+    v = desbordante.ucc_verification.algorithms.Default()
+    v.load_data(table=(f"{DS}/actors_and_actress.csv", ",", True))
+    v.execute(ucc_indices=[1])
+    assert not v.ucc_holds()
+    assert v.get_num_clusters_violating_ucc() >= 1
+    assert v.get_num_rows_violating_ucc() >= 2
+    clusters = v.get_clusters_violating_ucc()
+    assert clusters and all(len(c) >= 2 for c in clusters)
+    # row ids are 0-based file positions, ascending
+    assert all(c == sorted(c) for c in clusters)
+    # Person ID (index 0) IS unique
+    u = desbordante.ucc_verification.algorithms.Default()
+    u.load_data(table=(f"{DS}/actors_and_actress.csv", ",", True))
+    u.execute(ucc_indices=[0])
+    assert u.ucc_holds()
+
+
+def test_compat_fd_afd_verification():
+    import desbordante_spark.compat as desbordante
+
+    fv = desbordante.afd_verification.algorithms.Default()
+    fv.load_data(table=(f"{DS}/university_fd.csv", ",", True))
+    fv.execute(lhs_indices=[0], rhs_indices=[1])  # Course -> Classroom
+    assert not fv.fd_holds()
+    assert 0 < fv.get_error() < 1
+    assert fv.get_num_error_clusters() >= 1
+    assert fv.get_highlights()
+
+
+def test_compat_ar_mining():
+    import desbordante_spark.compat as desbordante
+
+    ar = desbordante.ar.algorithms.Default()
+    ar.load_data(table=(f"{DS}/rules_book.csv", ",", False))
+    ar.execute(minsup=0.4, minconf=0.6, input_format="singular")
+    rules = ar.get_ars()
+    assert rules and all(0.6 <= r.confidence <= 1.0 for r in rules)
+    assert "Bread" in ar.get_itemnames()
+
+
+def test_compat_mfd_verification():
+    import desbordante_spark.compat as desbordante
+
+    mv = desbordante.mfd_verification.algorithms.Default()
+    mv.load_data(table=(f"{DS}/theatres_mfd.csv", ",", True))
+    mv.execute(lhs_indices=[0], rhs_indices=[2], parameter=5.0)
+    assert isinstance(mv.mfd_holds(), bool)
+
+
+def test_compat_dd_mining_difference_table():
+    """mining_dd.py flow: the reference difference-table format drives the
+    Split search; every mined DD's interval covers its qualifying pairs by
+    construction."""
+    import desbordante_spark.compat as desbordante
+
+    dd = desbordante.dd.algorithms.Split()
+    dd.load_data(table=(f"{DS}/flights_dd.csv", ",", True))
+    dd.execute(difference_table=(f"{DS}/flights_dd_dif_table.csv", ",", True))
+    dds = dd.get_dds()
+    assert dds
+    assert all(d.lo <= d.hi for d in dds)
+    assert any("Duration" in str(d) for d in dds)
+
+
+def test_compat_afd_mining():
+    import desbordante_spark.compat as desbordante
+
+    afd = desbordante.afd.algorithms.Tane()
+    afd.load_data(table=(f"{DS}/inventory_afd.csv", ",", True))
+    afd.execute(error=0.1)
+    fds = afd.get_fds()
+    assert fds and all(f.error <= 0.1 for f in fds)
+    # Pyro (sampled two-phase) returns the same AFD set
+    pyro = desbordante.afd.algorithms.Pyro()
+    pyro.load_data(table=(f"{DS}/inventory_afd.csv", ",", True))
+    pyro.execute(error=0.1)
+    assert {(f.lhs, f.rhs) for f in pyro.get_fds()} == \
+        {(f.lhs, f.rhs) for f in fds}

@@ -62,8 +62,10 @@ def test_discover_fds_finds_known(spark):
     )
     fds = discover_fds(df, max_lhs=1)
     assert (("k",), "v") in fds and (("v",), "k") in fds
-    # id is a key -> keys are excluded as trivial FD LHS, reported via UCC
-    assert (("id",), "k") not in fds
+    # id is a key: its FDs are minimal (nothing smaller determines k/v) and
+    # ARE reported — reference parity (README university_fd output includes
+    # key LHS); id is also reported as a UCC by the UCC miner
+    assert (("id",), "k") in fds and (("id",), "v") in fds
     assert ("id",) in discover_uccs(df, max_size=1)
 
 
