@@ -97,10 +97,11 @@ class FD:
 
 @dataclass(frozen=True)
 class AFD(FD):
-    error: float = 0.0
+    """AFD result; prints in the reference's plain FD form (README example
+    2 output shows "[Id] -> Price" with no error suffix) — the error is the
+    ``error`` attribute."""
 
-    def __str__(self):
-        return f"[{' '.join(self.lhs)}] -> {self.rhs} (error={self.error:.6f})"
+    error: float = 0.0
 
 
 class _Algo:

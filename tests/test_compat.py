@@ -134,3 +134,42 @@ def test_compat_afd_mining():
     pyro.execute(error=0.1)
     assert {(f.lhs, f.rhs) for f in pyro.get_fds()} == \
         {(f.lhs, f.rhs) for f in fds}
+
+
+def test_compat_afd_readme_golden():
+    """README example 2: inventory_afd at error 0.1 yields exactly
+    [Id] -> Price, [Id] -> ProductName, [ProductName] -> Price."""
+    import desbordante_spark.compat as desbordante
+
+    algo = desbordante.afd.algorithms.Default()
+    algo.load_data(table=(f"{DS}/inventory_afd.csv", ",", True))
+    algo.execute(error=0.1)
+    assert sorted(str(f) for f in algo.get_fds()) == [
+        "[Id] -> Price",
+        "[Id] -> ProductName",
+        "[ProductName] -> Price",
+    ]
+
+
+def test_compat_afd_iris_pandas_readme_golden():
+    """README example 4: Pyro over a pandas DataFrame (iris, no header) at
+    several error thresholds — golden FD sets, compared order-free."""
+    import pandas as pd
+
+    import desbordante_spark.compat as desbordante
+
+    pyro = desbordante.afd.algorithms.Pyro()
+    df = pd.read_csv(f"{DS}/iris.csv", sep=",", header=None)
+    pyro.load_data(table=df)
+
+    def got(error):
+        pyro.execute(error=error, max_lhs=3)
+        return {str(f) for f in pyro.get_fds()}
+
+    assert got(0.0) == {"[0 1 2] -> 4", "[0 2 3] -> 4", "[0 1 3] -> 4",
+                        "[1 2 3] -> 4"}
+    assert got(0.1) == {
+        "[2] -> 0", "[2] -> 3", "[2] -> 1", "[0] -> 2", "[3] -> 0",
+        "[0] -> 3", "[0] -> 1", "[1] -> 3", "[1] -> 0", "[3] -> 2",
+        "[3] -> 1", "[1] -> 2", "[2] -> 4", "[3] -> 4", "[0] -> 4",
+        "[1] -> 4"}
