@@ -33,7 +33,7 @@ take DataFrames, not file tuples, so a facade adds nothing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _DEFAULT_MAX_LHS = 4
 
