@@ -109,6 +109,11 @@ def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
             _force(build())
         best = float("inf")
         for _ in range(max(1, reps)):
+            # drop cached intermediates (the drift sketch caches itself) so
+            # every rep pays the full per-CALL cost — Spark's CacheManager
+            # matches identical plans across reps, and a rep that reuses the
+            # previous rep's cached result times nothing
+            spark.catalog.clearCache()
             t = time.monotonic()
             _force(build())
             best = min(best, time.monotonic() - t)
@@ -201,6 +206,9 @@ def main() -> None:
             _force(qs[name](spark, SF_DIR))
         best = float("inf")
         for _ in range(max(1, reps)):
+            # per-rep cache honesty (see bench_doc_suite): self-caching
+            # plans (the drift sketch) must not reuse a previous rep's data
+            spark.catalog.clearCache()
             t = time.monotonic()
             _force(qs[name](spark, SF_DIR))
             best = min(best, time.monotonic() - t)
