@@ -44,6 +44,29 @@ def _spark():
     return get_spark(app_name="desbordante-spark-compat")
 
 
+def _load_pandas(table):
+    """Reference table spec → pandas DataFrame of strings (file order)."""
+    import pandas as pd
+
+    if isinstance(table, pd.DataFrame):
+        return table.astype(object).where(pd.notna(table), None)
+    if isinstance(table, tuple):
+        path, sep, has_header = table
+        pdf = pd.read_csv(
+            path, sep=sep, header=0 if has_header else None, dtype=str,
+            keep_default_na=False,
+        )
+        if not has_header:
+            pdf.columns = [f"col{i}" for i in range(len(pdf.columns))]
+        # the reference's empty cell stays '' and its NULL literal stays
+        # 'NULL'; both are "missing" to the type/constraint semantics
+        return pdf.where(pdf != "", None)
+    raise TypeError(
+        "table must be (path, sep, has_header), a pandas DataFrame or "
+        "a Spark DataFrame"
+    )
+
+
 def _load_table(table, spark=None):
     """Reference table spec → Spark DataFrame of strings + ordered row ids.
 
@@ -54,27 +77,7 @@ def _load_table(table, spark=None):
 
     if isinstance(table, DataFrame):
         return table, None, list(table.columns)
-    import pandas as pd
-
-    if isinstance(table, pd.DataFrame):
-        pdf = table.astype(object).where(pd.notna(table), None)
-    elif isinstance(table, tuple):
-        path, sep, has_header = table
-        pdf = pd.read_csv(
-            path, sep=sep, header=0 if has_header else None, dtype=str,
-            keep_default_na=False,
-        )
-        if not has_header:
-            pdf.columns = [f"col{i}" for i in range(len(pdf.columns))]
-        # the reference's empty cell stays '' and its NULL literal stays
-        # 'NULL'; both are "missing" to the type/constraint semantics
-        pdf = pdf.where(pdf != "", None)
-    else:
-        raise TypeError(
-            "table must be (path, sep, has_header), a pandas DataFrame or "
-            "a Spark DataFrame"
-        )
-    pdf = pdf.copy()
+    pdf = _load_pandas(table).copy()
     pdf["_rid"] = range(len(pdf))
     sp = spark or _spark()
     df = sp.createDataFrame(pdf)
@@ -701,50 +704,82 @@ class _dynamic_fd_verification:
         class DynamicFDVerifier(_Algo):
             """CRUD-batch FD verification (operators/dynamic.py): the
             count-state updates are bit-identical to re-verifying the
-            mutated table from scratch."""
+            mutated table from scratch. Matches the reference protocol
+            (examples/dynamic_verifying_fd.py): ``insert=`` new-row
+            DataFrame (ids continue after the current max), ``delete=`` a
+            set of row ids, ``update=`` a DataFrame INDEXED by the row ids
+            to replace (delete old values + insert new). State persists
+            across ``execute`` calls."""
 
             def load_data(self, table=None, spark=None, lhs_indices=None,
                           rhs_indices=None, **_kw):
-                super().load_data(table, spark)
-                from desbordante_spark.operators.dynamic import fd_state_init
+                import pandas as pd
 
+                pdf = _load_pandas(table).copy()
+                pdf.index = range(len(pdf))
+                self._pdf = pdf
+                self._sp = spark or _spark()
+                self._cols = list(pdf.columns)
                 self._lhs = self._names(lhs_indices or [])
                 self._rhs = self._names(rhs_indices or [])
+                from desbordante_spark.operators.dynamic import fd_state_init
+
                 self._state = fd_state_init(
-                    self._df.select(*self._cols), self._lhs, self._rhs
+                    self._sp.createDataFrame(pdf), self._lhs, self._rhs
                 )
+                self._refresh()
                 return self
 
-            def execute(self, insert=None, delete=None, update=None, **_kw):
+            def _rows_df(self, pdf):
+                return self._sp.createDataFrame(
+                    pdf[self._cols]
+                ) if len(pdf) else None
+
+            def _refresh(self):
                 from desbordante_spark.operators.dynamic import (
                     fd_metrics_from_state,
-                    state_apply,
                 )
 
-                sp = self._df.sparkSession
-                ins = del_ = None
-                if insert is not None:
-                    ins, _r, _c = _load_table(insert, sp)
-                    ins = ins.select(*self._cols)
-                if update is not None:
-                    upd, _r, _c = _load_table(update, sp)
-                    # an update is delete(old row id)+insert(new values);
-                    # the reference updates by row id — here the caller
-                    # passes full old/new rows (documented deviation)
-                    ins = (ins.unionByName(upd.select(*self._cols))
-                           if ins is not None else upd.select(*self._cols))
-                if delete is not None:
-                    del_rows = [self._df.filter(
-                        self._df[self._rid].isin(list(delete))
-                    ).select(*self._cols)] if self._rid else []
-                    del_ = del_rows[0] if del_rows else None
-                self._state = state_apply(
-                    self._state, self._lhs + self._rhs,
-                    inserts=ins, deletes=del_,
-                )
                 self._metrics = fd_metrics_from_state(
                     self._state, self._lhs
                 ).collect()[0]
+
+            def execute(self, insert=None, delete=None, update=None, **_kw):
+                import pandas as pd
+
+                from desbordante_spark.operators.dynamic import state_apply
+
+                del_ids = set(delete or [])
+                ins_frames = []
+                if update is not None:
+                    del_ids |= set(update.index)
+                    ins_frames.append(update[self._cols].astype(object))
+                if insert is not None:
+                    ins_frames.append(insert[self._cols].astype(object))
+                deletes = self._rows_df(self._pdf.loc[sorted(del_ids)]) \
+                    if del_ids else None
+                ins_pdf = (pd.concat(ins_frames, ignore_index=True)
+                           if ins_frames else None)
+                inserts = self._rows_df(ins_pdf) if ins_frames else None
+                self._state = state_apply(
+                    self._state, self._lhs + self._rhs,
+                    inserts=inserts, deletes=deletes,
+                )
+                # mirror the mutation on the pandas shadow (row-id ledger):
+                # updates keep their ids, inserts continue after the max id
+                if update is not None:
+                    self._pdf.loc[update.index, self._cols] = \
+                        update[self._cols].astype(object).values
+                    del_ids -= set(update.index)
+                if del_ids:
+                    self._pdf = self._pdf.drop(index=sorted(del_ids))
+                if insert is not None:
+                    nxt = (self._pdf.index.max() + 1
+                           if len(self._pdf) else 0)
+                    new = insert[self._cols].astype(object).copy()
+                    new.index = range(nxt, nxt + len(new))
+                    self._pdf = pd.concat([self._pdf, new])
+                self._refresh()
                 return self
 
             def fd_holds(self):

@@ -173,3 +173,42 @@ def test_compat_afd_iris_pandas_readme_golden():
         "[0] -> 3", "[0] -> 1", "[1] -> 3", "[1] -> 0", "[3] -> 2",
         "[3] -> 1", "[1] -> 2", "[2] -> 4", "[3] -> 4", "[0] -> 4",
         "[1] -> 4"}
+
+
+def test_compat_dynamic_fd_verification():
+    """dynamic_verifying_fd.py protocol: insert new rows, update rows by
+    id, delete by id — each state verdict equals a from-scratch verify of
+    the mutated table."""
+    import pandas as pd
+
+    import desbordante_spark.compat as desbordante
+
+    data = pd.DataFrame(
+        [["a", "x"], ["a", "x"], ["b", "y"], ["c", "z"]],
+        columns=["L", "R"],
+    )
+    v = desbordante.dynamic_fd_verification.algorithms.Default()
+    v.load_data(table=data, lhs_indices=[0], rhs_indices=[1])
+    assert v.fd_holds()
+
+    # insert a conflicting row: L=a -> R=q breaks the FD
+    v.execute(insert=pd.DataFrame([["a", "q"]], columns=["L", "R"]))
+    assert not v.fd_holds() and v.get_error() > 0
+
+    # the inserted row got id 4 (continues after max); update it to agree
+    v.execute(update=pd.DataFrame([["a", "x"]], columns=["L", "R"],
+                                  index=[4]))
+    assert v.fd_holds()
+
+    # delete two of the L=a rows; still holds
+    v.execute(delete={0, 4})
+    assert v.fd_holds()
+    # now break it again and verify the error matches a fresh verify
+    v.execute(insert=pd.DataFrame([["b", "w"]], columns=["L", "R"]))
+    assert not v.fd_holds()
+    from desbordante_spark.operators.fd import fd_verify
+    from desbordante_spark.session import get_spark
+
+    cur = v._pdf[["L", "R"]]
+    fresh = fd_verify(get_spark().createDataFrame(cur), ["L"], ["R"])
+    assert abs(v.get_error() - fresh.error) < 1e-12
