@@ -563,6 +563,125 @@ class _ac:
         Default = AcAlgorithm
 
 
+# ----------------------------------------------------------- DataStats
+
+class _statistics:
+    class algorithms:
+        class DataStats(_Algo):
+            """Per-column statistics (statistics/data_stats.cpp) behind the
+            reference getter surface. Columns loaded from CSV arrive as
+            strings; the typed-column inference (operators/schema_infer.py)
+            recovers numeric columns first, exactly like the reference's
+            ``TypedColumnData`` pass. ``get_median`` uses the engine's
+            quantile sketch at accuracy 10000 (exact on small tables)."""
+
+            def execute(self, **_kw):
+                from pyspark.sql import functions as F
+
+                from desbordante_spark.operators.schema_infer import (
+                    type_profile,
+                )
+                from desbordante_spark.operators.stats import (
+                    char_vocab,
+                    profile,
+                    words_set,
+                )
+
+                df = self._df.select(*self._cols)
+                inferred = {
+                    r["column"]: r["inferred_type"]
+                    for r in type_profile(df).collect()
+                }
+                casts = []
+                for c in self._cols:
+                    t = inferred.get(c)
+                    if t in ("int", "bigint"):
+                        casts.append(F.col(c).cast("long").alias(c))
+                    elif t == "double":
+                        casts.append(F.col(c).cast("double").alias(c))
+                    else:
+                        casts.append(F.col(c))
+                typed = df.select(*casts)
+                self._typed = typed
+                self._prof = {
+                    r["column"]: r.asDict() for r in profile(typed).collect()
+                }
+                self._vocab_fn = lambda c: char_vocab(typed, c)
+                self._words_fn = lambda c: {
+                    r["word"] for r in words_set(typed, c).collect()
+                }
+                return self
+
+            def _col(self, index):
+                return self._prof[self._cols[index]]
+
+            def get_average(self, index):
+                return self._col(index)["avg"]
+
+            def get_sum_of_squares(self, index):
+                return self._col(index)["sum_of_squares"]
+
+            def get_median(self, index):
+                q = self._col(index)["quantiles"]
+                return q[1] if q else None
+
+            def get_min(self, index):
+                return self._col(index)["min_value"]
+
+            def get_max(self, index):
+                return self._col(index)["max_value"]
+
+            def get_number_of_distinct(self, index):
+                return self._col(index)["distinct_values"]
+
+            def get_corrected_std(self, index):
+                return self._col(index)["stddev"]
+
+            def get_min_number_of_chars(self, index):
+                return self._col(index)["min_chars"]
+
+            def get_max_number_of_chars(self, index):
+                return self._col(index)["max_chars"]
+
+            def get_min_number_of_words(self, index):
+                return self._col(index)["min_words"]
+
+            def get_max_number_of_words(self, index):
+                return self._col(index)["max_words"]
+
+            def get_number_of_nulls(self, index):
+                return self._col(index)["null_count"]
+
+            def get_vocab(self, index):
+                return "".join(self._vocab_fn(self._cols[index]))
+
+            def get_words(self, index):
+                return self._words_fn(self._cols[index])
+
+            def get_number_of_columns(self):
+                return len(self._cols)
+
+            def get_columns_with_null(self):
+                return [i for i, c in enumerate(self._cols)
+                        if self._prof[c]["null_count"] > 0]
+
+            def get_columns_with_all_unique_values(self):
+                total = None
+                out = []
+                for i, c in enumerate(self._cols):
+                    p = self._prof[c]
+                    if total is None:
+                        total = p["count_values"] + p["null_count"] + \
+                            p["empty_count"]
+                    if (p["distinct_values"] == p["count_values"]
+                            and p["count_values"] == total):
+                        out.append(i)
+                return out
+
+        Default = DataStats
+
+
+
 # --------------------------------------------------------- verification
 
 class _FdVerifierBase(_Algo):
@@ -801,6 +920,7 @@ dd = _dd
 cfd = _cfd
 ar = _ar
 ac = _ac
+statistics = _statistics
 fd_verification = _fd_verification
 afd_verification = _afd_verification
 ucc_verification = _ucc_verification
@@ -811,6 +931,6 @@ dynamic_fd_verification = _dynamic_fd_verification
 __all__ = [
     "FD", "AFD", "DD", "ARule",
     "fd", "afd", "pfd", "ucc", "ind", "od", "dd", "cfd", "ar", "ac",
-    "fd_verification", "afd_verification", "ucc_verification",
+    "statistics", "fd_verification", "afd_verification", "ucc_verification",
     "aucc_verification", "mfd_verification", "dynamic_fd_verification",
 ]

@@ -212,3 +212,31 @@ def test_compat_dynamic_fd_verification():
     cur = v._pdf[["L", "R"]]
     fresh = fd_verify(get_spark().createDataFrame(cur), ["L"], ["R"])
     assert abs(v.get_error() - fresh.error) < 1e-12
+
+
+def test_compat_data_stats():
+    """data_stats.py flow on the reference's Workshop.csv: numeric columns
+    recovered by type inference, getter surface live."""
+    import desbordante_spark.compat as desbordante
+
+    ds = desbordante.statistics.algorithms.Default()
+    ds.load_data(table=(f"{DS}/Workshop.csv", ",", True))
+    ds.execute()
+    n = ds.get_number_of_columns()
+    assert n >= 3
+    # at least one numeric column got real numeric stats
+    stats = [(i, ds.get_average(i)) for i in range(n)]
+    numeric = [i for i, a in stats if a is not None]
+    assert numeric
+    i = numeric[0]
+    assert ds.get_corrected_std(i) is not None
+    assert float(ds.get_min(i)) <= float(ds.get_max(i))
+    assert ds.get_median(i) is not None
+    assert ds.get_number_of_distinct(i) > 0
+    # string-side getters
+    j = next(i for i, a in stats if a is None)
+    assert ds.get_max_number_of_chars(j) >= ds.get_min_number_of_chars(j)
+    assert ds.get_vocab(j)
+    assert ds.get_words(j)
+    assert isinstance(ds.get_columns_with_null(), list)
+    assert isinstance(ds.get_columns_with_all_unique_values(), list)
