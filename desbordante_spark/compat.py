@@ -323,7 +323,8 @@ class _od:
                 from desbordante_spark.discovery.order import discover_ods_auto
 
                 rows = discover_ods_auto(
-                    self._df.select(*self._cols), max_context=max_context
+                    self._df.select(*self._cols), self._cols, self._cols,
+                    max_context=max_context,
                 ).collect()
                 self._ods = [r for r in rows if r["holds"]]
                 return self

@@ -240,3 +240,57 @@ def test_compat_data_stats():
     assert ds.get_words(j)
     assert isinstance(ds.get_columns_with_null(), list)
     assert isinstance(ds.get_columns_with_all_unique_values(), list)
+
+
+def test_compat_ind_mining():
+    """mining_ind.py flow: Spider over several tables at once."""
+    import desbordante_spark.compat as desbordante
+
+    ind = desbordante.ind.algorithms.Default()
+    ind.load_data(tables=[
+        (f"{DS}/ind_datasets/course.csv", ",", True),
+        (f"{DS}/ind_datasets/department.csv", ",", True),
+        (f"{DS}/ind_datasets/instructor.csv", ",", True),
+    ])
+    ind.execute()
+    inds = ind.get_inds()
+    assert inds
+    # course.dept_name ⊆ department.dept_name is a textbook IND here
+    pairs = {(r["lhs"], r["rhs"]) for r in inds}
+    assert any("course" in l and "department" in r for l, r in pairs)
+
+
+def test_compat_od_mining():
+    """mining_set_od flow: Fastod over the salary table — higher grade
+    orders higher salary within a year."""
+    import desbordante_spark.compat as desbordante
+
+    od = desbordante.od.algorithms.Fastod()
+    od.load_data(table=(f"{DS}/salary.csv", ",", True))
+    od.execute(max_context=1)
+    simple = od.get_simple_ods()
+    assert simple
+    assert any("employee_grade" in s and "avg_salary" in s for s in simple)
+
+
+def test_compat_cfd_mining():
+    """mining_cfd.py flow: FDFirst over play_tennis."""
+    import desbordante_spark.compat as desbordante
+
+    cfd = desbordante.cfd.algorithms.Default()
+    cfd.load_data(table=(f"{DS}/play_tennis.csv", ",", True))
+    cfd.execute(minsup=4, minconf=0.9, max_lhs=2)
+    rules = cfd.get_cfds()
+    assert rules
+    # the classic golden: overcast always plays
+    assert any("Outlook=overcast" in r and "Play" in r for r in rules)
+
+
+def test_compat_ucc_mining():
+    import desbordante_spark.compat as desbordante
+
+    u = desbordante.ucc.algorithms.Default()
+    u.load_data(table=(f"{DS}/actors_and_actress.csv", ",", True))
+    u.execute(max_lhs=2)
+    uccs = u.get_uccs()
+    assert any(x.lhs == ("Person ID",) for x in uccs)
