@@ -534,25 +534,68 @@ class _ar:
 
 # ---------------------------------------------------------------- AC mining
 
+@dataclass(frozen=True)
+class ACRange:
+    """Reference ``ACRanges``: the column pair + its allowed value
+    intervals (algebraic_constraints.py example surface)."""
+
+    column_indices: tuple[int, int]
+    ranges: list
+
+    def __str__(self):
+        return f"{self.column_indices}: {self.ranges}"
+
+
+@dataclass(frozen=True)
+class ACException:
+    """Reference ``ACException``: a row whose binop value falls outside
+    every allowed range."""
+
+    row_index: int
+    column_indices: tuple[int, int]
+    value: float
+
+
 class _ac:
     class algorithms:
         class AcAlgorithm(_Algo):
-            def execute(self, lhs_index: int = 0, rhs_index: int = 1,
-                        bin_operation: str = "+", weight: float = 0.05,
-                        **_kw):
+            def execute(self, bin_operation: str = "+", weight: float = 0.05,
+                        ac_seed: int = 42, **_kw):
+                """Mines ranges + exceptions for every ordered column pair
+                of the loaded table (the reference's behavior — the example
+                loads exactly the two columns of interest). The reference's
+                fuzzy-sampling knobs (``p_fuzz``/``fuzziness``/
+                ``bumps_limit``/``iterations_limit``) tune ITS sampler and
+                are accepted but ignored; this engine's sampler is bounded
+                by ``ac.ac_build_ranges(max_sample=)``."""
                 from desbordante_spark.operators.ac import (
                     ac_build_ranges,
                     ac_exceptions,
                 )
 
-                a, b = self._cols[lhs_index], self._cols[rhs_index]
-                df = self._df
-                self._ranges = ac_build_ranges(
-                    df, a, b, op=bin_operation, weight=weight
-                )
-                self._exceptions = ac_exceptions(
-                    df, a, b, bin_operation, self._ranges
-                ).collect()
+                self._ranges = []
+                self._exceptions = []
+                pairs = [
+                    (i, j)
+                    for i in range(len(self._cols))
+                    for j in range(i + 1, len(self._cols))
+                ]
+                for i, j in pairs:
+                    a, b = self._cols[i], self._cols[j]
+                    rng = ac_build_ranges(
+                        self._df, a, b, op=bin_operation, weight=weight,
+                        seed=ac_seed,
+                    )
+                    self._ranges.append(ACRange((i, j), rng))
+                    exc = ac_exceptions(
+                        self._df, a, b, bin_operation, rng
+                    ).collect()
+                    for r in exc:
+                        rid = int(r[self._rid]) if self._rid else -1
+                        self._exceptions.append(
+                            ACException(rid, (i, j), float(r["binop_value"]))
+                        )
+                self._exceptions.sort(key=lambda e: e.row_index)
                 return self
 
             def get_ac_ranges(self):
@@ -911,6 +954,40 @@ class _dynamic_fd_verification:
         Default = DynamicFDVerifier
 
 
+class _gfd_verification:
+    class algorithms:
+        class EGfdValid(_Algo):
+            """File-based GFD validation (examples/verifying_gfd flow):
+            ``load_data(gfd=[paths], graph=path)`` / ``execute()`` /
+            ``get_gfds()`` returns the SATISFIED dependencies — the
+            reference signals "holds" via membership."""
+
+            def load_data(self, gfd=None, graph=None, spark=None, **_kw):
+                self._gfd_paths = list(gfd or [])
+                self._graph = graph
+                self._sp = spark or _spark()
+                return self
+
+            def execute(self, **_kw):
+                from desbordante_spark.sources.graph_dot import (
+                    verify_gfd_files,
+                )
+
+                self._satisfied = [
+                    p for p in self._gfd_paths
+                    if verify_gfd_files(self._sp, self._graph, p).holds
+                ]
+                return self
+
+            def get_gfds(self):
+                return self._satisfied
+
+        GfdValid = EGfdValid
+        NaiveGfdValid = EGfdValid
+        Default = EGfdValid
+
+
+
 fd = _fd
 afd = _afd
 pfd = _pfd
@@ -922,6 +999,7 @@ cfd = _cfd
 ar = _ar
 ac = _ac
 statistics = _statistics
+gfd_verification = _gfd_verification
 fd_verification = _fd_verification
 afd_verification = _afd_verification
 ucc_verification = _ucc_verification
@@ -932,6 +1010,7 @@ dynamic_fd_verification = _dynamic_fd_verification
 __all__ = [
     "FD", "AFD", "DD", "ARule",
     "fd", "afd", "pfd", "ucc", "ind", "od", "dd", "cfd", "ar", "ac",
-    "statistics", "fd_verification", "afd_verification", "ucc_verification",
+    "statistics", "gfd_verification", "fd_verification",
+    "afd_verification", "ucc_verification",
     "aucc_verification", "mfd_verification", "dynamic_fd_verification",
 ]

@@ -294,3 +294,44 @@ def test_compat_ucc_mining():
     u.execute(max_lhs=2)
     uccs = u.get_uccs()
     assert any(x.lhs == ("Person ID",) for x in uccs)
+
+
+def test_compat_gfd_verification():
+    """verifying_gfd1.py flow: the correct-author GFD holds on the blogs
+    graph and fails on the incorrect-author variant (reference signals
+    holds via get_gfds() membership)."""
+    import desbordante_spark.compat as desbordante
+
+    base = "/root/reference/examples/verifying_gfd/datasets"
+    algo = desbordante.gfd_verification.algorithms.EGfdValid()
+    algo.load_data(gfd=[f"{base}/gfds/correct_author_gfd.dot"],
+                   graph=f"{base}/graphs/blogs_graph.dot")
+    algo.execute()
+    assert len(algo.get_gfds()) == 1
+
+    bad = desbordante.gfd_verification.algorithms.EGfdValid()
+    bad.load_data(gfd=[f"{base}/gfds/correct_author_gfd.dot"],
+                  graph=f"{base}/graphs/incorrect_author_blogs_graph.dot")
+    bad.execute()
+    assert len(bad.get_gfds()) == 0
+
+
+def test_compat_ac_mining():
+    """algebraic_constraints.py flow: ranges for (Delivery - Dispatch),
+    exceptions as row-indexed objects."""
+    import pandas as pd
+
+    import desbordante_spark.compat as desbordante
+
+    df = pd.read_csv(f"{DS}/cargo_march.csv", sep=",", header=0)
+    algo = desbordante.ac.algorithms.Default()
+    algo.load_data(table=df[["Delivery date", "Dispatch date"]])
+    algo.execute(bin_operation="-", weight=0.1, ac_seed=11,
+                 p_fuzz=0.85, fuzziness=0.2, bumps_limit=0,
+                 iterations_limit=4)
+    ranges = algo.get_ac_ranges()
+    assert len(ranges) == 1 and ranges[0].column_indices == (0, 1)
+    assert ranges[0].ranges and all(lo <= hi for lo, hi in ranges[0].ranges)
+    for exc in algo.get_ac_exceptions():
+        assert exc.row_index >= 0
+        assert not any(lo <= exc.value <= hi for lo, hi in ranges[0].ranges)
