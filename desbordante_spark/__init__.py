@@ -16,6 +16,8 @@ A from-scratch re-expression of the capabilities of Mstrutov/Desbordante
   extensions beyond the reference.
 - Training-data pipeline ops: exact / MinHash-LSH / SimHash / n-gram-Jaccard
   dedup, embedding cosine similarity search, text quality analysis.
+- A ``desbordante``-compatible API facade (``desbordante_spark.compat``):
+  reference scripts port by changing one import.
 
 All operators are declarative DataFrame plans (Catalyst-optimized, JVM-side
 whole-stage codegen); pandas/Arrow UDFs only where built-ins cannot express
@@ -29,8 +31,11 @@ from desbordante_spark.model import (
     UCCResult,
     VerificationResult,
 )
+from desbordante_spark.operators.drift import quantile_drift
 from desbordante_spark.operators.fd import fd_verify, fd_violations
 from desbordante_spark.operators.ind import ind_verify
+from desbordante_spark.operators.mfd import mfd_verify
+from desbordante_spark.operators.schema_infer import type_profile
 from desbordante_spark.operators.ucc import ucc_verify, ucc_violations
 
 __all__ = [
@@ -44,6 +49,9 @@ __all__ = [
     "fd_verify",
     "fd_violations",
     "ind_verify",
+    "mfd_verify",
+    "type_profile",
+    "quantile_drift",
 ]
 
 __version__ = "0.1.0"
