@@ -84,21 +84,32 @@ def _load_table(table, spark=None):
     return df, "_rid", [c for c in df.columns if c != "_rid"]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class FD:
     """A functional dependency; ``__str__`` is the reference's
-    ``Vertical::ToString() + " -> " + rhs`` (fd.cpp:32-38)."""
+    ``Vertical::ToString() + " -> " + rhs`` (fd.cpp:32-38). Equality and
+    hashing are by (lhs, rhs) ONLY, across FD/AFD alike — the reference's
+    typo-mining scenario (examples/mine_typos.py:188-191) set-subtracts
+    the exact miner's FDs from the approximate miner's, so an AFD must
+    equal the same dependency found exactly."""
 
     lhs: tuple[str, ...]
     rhs: str
     lhs_indices: tuple[int, ...] = ()
     rhs_index: int = -1
 
+    def __eq__(self, other):
+        return (isinstance(other, FD)
+                and self.lhs == other.lhs and self.rhs == other.rhs)
+
+    def __hash__(self):
+        return hash((self.lhs, self.rhs))
+
     def __str__(self):
         return f"[{' '.join(self.lhs)}] -> {self.rhs}"
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class AFD(FD):
     """AFD result; prints in the reference's plain FD form (README example
     2 output shows "[Id] -> Price" with no error suffix) — the error is the

@@ -335,3 +335,31 @@ def test_compat_ac_mining():
     for exc in algo.get_ac_exceptions():
         assert exc.row_index >= 0
         assert not any(lo <= exc.value <= hi for lo, hi in ranges[0].ranges)
+
+
+def test_compat_typo_mining_flow():
+    """mine_typos.py core (lines 186-191): almost-holding FDs = the
+    approximate miner's result minus the exact miner's — requires FD/AFD
+    set algebra across miner classes, and each almost-FD must truly have
+    0 < g1 error <= the threshold."""
+    import pandas as pd
+
+    import desbordante_spark.compat as desbordante
+
+    df = pd.read_csv(f"{DS}/Workshop.csv", sep=",", header=0)
+    exact = desbordante.fd.algorithms.Default()
+    exact.load_data(table=df)
+    exact.execute(max_lhs=2)
+    holding = set(exact.get_fds())
+
+    approx = desbordante.afd.algorithms.Default()
+    approx.load_data(table=df)
+    approx.execute(error=0.005, max_lhs=2)
+    close = set(approx.get_fds())
+
+    almost = close - holding
+    assert almost, "Workshop.csv has its documented near-FDs (typos)"
+    for fd in almost:
+        assert isinstance(fd.error, float) and 0 < fd.error <= 0.005
+    # exact FDs are a subset of the 0.005-error AFDs
+    assert holding <= close
