@@ -34,6 +34,12 @@ def transactions_from(
     ``singular``: (tid, item) rows → ``groupBy(tid).collect_set(item)``.
     ``tabular``: each row is a transaction; ``item_cols`` (default: all
     non-tid columns) contribute their non-null values as items.
+
+    Tabular input WITHOUT a ``tid_col`` gets surrogate ids from
+    ``monotonically_increasing_id()`` — unique within a run but
+    partition-layout dependent, so NOT stable across runs. Rule mining
+    (``mine_association_rules``) never reads the tid; pass an explicit
+    ``tid_col`` when transactions must be joined back to source rows.
     """
     if input_format == "singular":
         return (
