@@ -83,3 +83,34 @@ def test_metric_verifier_golden(tables, table, metric, parameter, lhs, rhs,
                            metric=metric, q=q,
                            dist_from_null_is_infinity=null_inf)
         assert not tight.holds, "parameter is the exact max diameter"
+
+
+# --------------------------------------------------------------- PFD errors
+
+# (lhs_idx, rhs_idx, expected_error) — transplanted verbatim from
+# src/tests/test_pfdtane.cpp:73-79 PFDTaneTestValidationSuite on TestFD.csv
+_PFD_PER_VALUE = [
+    (2, 3, 0.0625), (4, 5, 0.333333), (3, 2, 0.291666), (0, 1, 0.75),
+    (1, 0, 0.0), (4, 3, 0.099999), (1, 5, 0.416666), (5, 1, 0.0),
+]
+_PFD_PER_TUPLE = [
+    (2, 3, 0.083333), (4, 5, 0.333333), (3, 2, 0.5), (0, 1, 0.75),
+    (1, 0, 0.0), (4, 3, 0.083333), (1, 5, 0.416666), (5, 1, 0.0),
+]
+
+
+@pytest.mark.parametrize("measure,cases", [
+    ("per_value", _PFD_PER_VALUE),
+    ("per_tuple", _PFD_PER_TUPLE),
+])
+def test_pfd_error_golden(spark, testfd, measure, cases):
+    """The reference's PFD error goldens, exact to 1e-5 (the reference's
+    own EXPECT_NEAR tolerance)."""
+    from desbordante_spark.operators.fd import pfd_metrics_df
+
+    df = testfd.drop("row_id")
+    for lhs_i, rhs_i, want in cases:
+        row = pfd_metrics_df(
+            df, [f"Col{lhs_i}"], [f"Col{rhs_i}"], error_measure=measure
+        ).collect()[0]
+        assert abs(row["error"] - want) < 1e-5, (lhs_i, rhs_i, measure)
