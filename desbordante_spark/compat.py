@@ -962,6 +962,12 @@ class _dynamic_fd_verification:
             def get_error(self):
                 return float(self._metrics["error"])
 
+            def get_num_error_clusters(self):
+                return int(self._metrics["num_violating_clusters"])
+
+            def get_num_error_rows(self):
+                return int(self._metrics["num_violating_rows"])
+
         Default = DynamicFDVerifier
 
 
