@@ -499,7 +499,7 @@ class _ar:
                         tid_column_index: int = 0,
                         item_column_index: int = 1, **_kw):
                 from desbordante_spark.operators.ar import (
-                    mine_association_rules,
+                    mine_association_rules_full,
                     transactions_from,
                 )
 
@@ -515,7 +515,9 @@ class _ar:
                         df.withColumn("_tid", self._tid()), "tabular",
                         tid_col="_tid", item_cols=self._cols,
                     )
-                rows = mine_association_rules(
+                # full consequent enumeration — the reference's Apriori
+                # emits multi-item consequents (test_apriori.cpp goldens)
+                rows = mine_association_rules_full(
                     tx, min_support=minsup, min_confidence=minconf
                 ).collect()
                 self._ars = [

@@ -19,7 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["transactions_from", "mine_association_rules", "frequent_itemsets"]
+__all__ = ["transactions_from", "mine_association_rules",
+           "mine_association_rules_full", "frequent_itemsets"]
 
 
 def transactions_from(
@@ -97,3 +98,65 @@ def mine_association_rules(
         minConfidence=min_confidence,
     ).fit(transactions)
     return model.associationRules
+
+
+def mine_association_rules_full(
+    transactions: DataFrame,
+    min_support: float = 0.1,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Association rules with FULL consequent enumeration — the reference's
+    Apriori emits every rule ``A → Z∖A`` over every frequent itemset ``Z``
+    and non-empty proper subset ``A`` (test_apriori.cpp goldens include
+    2-item consequents like {Yogurt} → {Milk, Eggs}); Spark's FPGrowth
+    ``associationRules`` only emits single-item consequents, so this
+    derives the complete rule set from the frequent-itemset frame instead.
+
+    Scale shape: the frequent list is small by construction (bounded by
+    ``min_support``), so the antecedent⊆itemset pairing is a broadcast
+    self-join of the frequent frame — no second data pass; confidence =
+    freq(Z)/freq(A) needs no re-count. Output matches
+    ``mine_association_rules``'s schema: ``(antecedent, consequent,
+    confidence, support, lift)``."""
+    freq = frequent_itemsets(transactions, min_support)
+    a = freq.select(
+        F.col("items").alias("antecedent"),
+        F.col("freq").alias("a_freq"),
+        F.col("support").alias("a_support"),
+    )
+    z = freq.select(
+        F.col("items").alias("z_items"),
+        F.col("freq").alias("z_freq"),
+        F.col("support").alias("z_support"),
+    )
+    pairs = z.join(
+        F.broadcast(a),
+        (F.size("antecedent") < F.size("z_items"))
+        & (F.size(F.array_except("antecedent", "z_items")) == 0),
+    )
+    conf = F.col("z_freq").cast("double") / F.col("a_freq").cast("double")
+    cons = F.array_except("z_items", "antecedent")
+    out = pairs.select(
+        "antecedent",
+        cons.alias("consequent"),
+        conf.alias("confidence"),
+        F.col("z_support").alias("support"),
+    ).filter(F.col("confidence") >= F.lit(float(min_confidence)))
+    # lift = confidence / support(consequent): join the consequent's own
+    # frequency back from the frequent list (consequents of frequent
+    # itemsets are themselves frequent — always present)
+    c = freq.select(
+        F.col("items").alias("c_items"),
+        F.col("support").alias("c_support"),
+    )
+    return out.join(
+        F.broadcast(c),
+        (F.size(F.array_except(out["consequent"], c["c_items"])) == 0)
+        & (F.size(c["c_items"]) == F.size(out["consequent"])),
+    ).select(
+        "antecedent",
+        "consequent",
+        "confidence",
+        "support",
+        (F.col("confidence") / F.col("c_support")).alias("lift"),
+    )
