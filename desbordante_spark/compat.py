@@ -468,6 +468,7 @@ class _cfd:
                 self._cfds = discover_cfds(
                     self._df.select(*self._cols), min_support=minsup,
                     min_confidence=minconf, max_lhs=max_lhs,
+                    prune_specializations_of_exact=True,  # reference FDFirst
                 ).collect()
                 return self
 

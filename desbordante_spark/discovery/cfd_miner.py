@@ -51,6 +51,7 @@ def discover_cfds(
     min_confidence: float = 0.9,
     max_lhs: int = 2,
     rhs_columns: list[str] | None = None,
+    prune_specializations_of_exact: bool = False,
 ) -> DataFrame:
     """Mine all qualifying CFD rules with ``|LHS| <= max_lhs``.
 
@@ -61,6 +62,15 @@ def discover_cfds(
     for variable rules, and ``confidence = satisfied / support`` under the
     most-frequent-RHS semantics above. Rows with a NULL in any involved
     attribute are excluded from that candidate's counts.
+
+    ``prune_specializations_of_exact=True`` applies the reference FDFirst's
+    redundancy rule (verified against test_cfd_algos.cpp goldens): a rule
+    is dropped when a strictly more GENERAL rule — same RHS attribute,
+    covering items (a variable attribute covers its constants, a variable
+    RHS covers a constant one) — holds EXACTLY (confidence 1.0). The more
+    general exact rule always qualifies too (≥ support, confidence 1.0 ≥
+    any threshold), so pruning is a driver-side pass over the mined rule
+    list (small by the minsup bound), never a second data scan.
     """
     cols = sorted(columns or df.columns)
     rhs_cols = sorted(rhs_columns or cols)
@@ -131,7 +141,15 @@ def discover_cfds(
         F.sum("gs").cast("long").alias("support"),
         F.sum("bc").cast("long").alias("satisfied"),
         F.min("bv").alias("best_rv"),  # single group when LHS fully constant
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
     )
+    # global (group-ignoring) best RHS mass per pattern — the reference's
+    # IsConstRule signal: rhs constant over the pattern rows
+    gmax = (
+        cnts.groupBy("cid", "pat", "rv").agg(F.sum("cnt").alias("c"))
+        .groupBy("cid", "pat").agg(F.max("c").cast("long").alias("g_max"))
+    )
+    per_pat = per_pat.join(gmax, ["cid", "pat"])
 
     spark = df.sparkSession
     dim = spark.createDataFrame(
@@ -145,19 +163,111 @@ def discover_cfds(
         F.col("is_constant_rhs") == 1,
         F.concat(F.col("rhs_attr"), F.lit("="), F.col("best_rv")),
     ).otherwise(F.concat(F.col("rhs_attr"), F.lit("=_")))
-    return (
-        j.filter(
+    base_cols = [
+        F.col("pat").alias("lhs_pattern"),
+        "rhs_attr",
+        rhs.alias("rhs"),
+        "lhs_size",
+        "support",
+        "satisfied",
+        conf.alias("confidence"),
+        "is_constant_rhs",
+    ]
+    if not prune_specializations_of_exact:
+        return j.filter(
             (F.col("support") >= F.lit(int(min_support)))
             & (conf >= F.lit(float(min_confidence)))
-        )
-        .select(
-            F.col("pat").alias("lhs_pattern"),
-            "rhs_attr",
-            rhs.alias("rhs"),
-            "lhs_size",
-            "support",
-            "satisfied",
-            conf.alias("confidence"),
-            "is_constant_rhs",
-        )
-    )
+        ).select(*base_cols)
+
+    # ---- reference FDFirst semantics (fd_first_algorithm.cpp:120-171,
+    # verified against the test_cfd_algos.cpp goldens), applied driver-side
+    # over the UNFILTERED per-candidate stats (bounded by the candidate
+    # count, no extra data pass):
+    #   (1) variable-RHS rules are skipped when the LHS partition has one
+    #       group or the RHS is constant over the pattern rows (those are
+    #       const-rule territory — MineFD's sets_number==1 / IsConstRule),
+    #   (2) the LHS itemset must be FREE: no proper sub-itemset with the
+    #       same (support, n_groups) partition signature (free_map_),
+    #   (3) an EXACT rule whose LHS keeps ≥1 variable attribute prunes
+    #       every specialization for the same RHS (rules_[rhs] + Precedes;
+    #       all-constant exact rules prune nothing — mushroom golden).
+    full = j.select(*base_cols, "n_groups", "g_max").collect()
+
+    def _items(r):
+        d = {}
+        for p in r["lhs_pattern"].split(" AND "):
+            a, v = p.split("=", 1)
+            d[a] = v
+        return d
+
+    # itemset partition signatures (rhs-independent): (vars, consts) →
+    # (support, n_groups)
+    sig = {}
+    for r in full:
+        it = _items(r)
+        key = frozenset(it.items())
+        sig.setdefault(key, (r["support"], r["n_groups"]))
+
+    def _free(it):
+        key = frozenset(it.items())
+        me = sig[key]
+        for item in it.items():
+            sub = frozenset(k for k in key if k != item)
+            if sub and sig.get(sub) == me:
+                return False
+        return True
+
+    def _precedes(g_it, r_it):
+        if not set(g_it) <= set(r_it):
+            return False
+        for a, gv in g_it.items():
+            if gv != "_" and r_it[a] != gv:
+                return False
+        return g_it != r_it
+
+    min_conf = float(min_confidence)
+    exact_var = []  # (items, rhs_attr) of exact rules keeping a variable
+    exact_const = []  # (items, rhs_attr) of exact ALL-CONSTANT rules
+    rules = []
+    for r in full:
+        it = _items(r)
+        is_exact = r["satisfied"] == r["support"]
+        if not r["is_constant_rhs"]:
+            if r["n_groups"] == 1 or r["g_max"] == r["support"]:
+                continue  # (1) const-rule territory
+            if not _free(it):
+                continue  # (2)
+            rules.append((r, it, is_exact))
+            if is_exact and any(v == "_" for v in it.values()):
+                exact_var.append((it, r["rhs_attr"]))
+        else:
+            rules.append((r, it, is_exact))
+            if is_exact:
+                exact_const.append((it, r["rhs_attr"]))
+    kept = []
+    for r, it, is_exact in rules:
+        if r["support"] < int(min_support) or r["confidence"] < min_conf:
+            continue
+        if not r["is_constant_rhs"] and any(
+            b == r["rhs_attr"] and _precedes(g_it, it)
+            for g_it, b in exact_var
+        ):
+            continue  # (3)
+        if r["is_constant_rhs"] and any(
+            b == r["rhs_attr"] and _precedes(g_it, it)
+            for g_it, b in exact_const
+        ):
+            continue  # (3') exact constant rules prune constant
+            # specializations (mushroom golden: (cap-color=y)=>edible=e
+            # absorbs every wider constant pattern)
+        kept.append({
+            "lhs_pattern": r["lhs_pattern"], "rhs_attr": r["rhs_attr"],
+            "rhs": r["rhs"], "lhs_size": r["lhs_size"],
+            "support": r["support"], "satisfied": r["satisfied"],
+            "confidence": r["confidence"],
+            "is_constant_rhs": r["is_constant_rhs"],
+        })
+    schema = ("lhs_pattern string, rhs_attr string, rhs string, "
+              "lhs_size int, support long, satisfied long, "
+              "confidence double, is_constant_rhs int")
+    return df.sparkSession.createDataFrame(kept, schema)
