@@ -306,6 +306,10 @@ class _ind:
                         spec[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
                         if isinstance(spec, tuple) else f"t{len(self._tables)}"
                     )
+                    # two specs sharing a basename (a/data.csv, b/data.csv)
+                    # must not silently overwrite each other
+                    if name in self._tables:
+                        name = f"{name}_{len(self._tables)}"
                     self._tables[name] = df.select(*cols)
                 return self
 
@@ -512,9 +516,13 @@ class _ar:
                         item_col=self._cols[item_column_index],
                     )
                 else:
+                    # build the tid BEFORE projecting away _rid — _tid()
+                    # references the loader's row-order column, which
+                    # `df` (a plain column projection) no longer carries
                     tx = transactions_from(
-                        df.withColumn("_tid", self._tid()), "tabular",
-                        tid_col="_tid", item_cols=self._cols,
+                        self._df.withColumn("_tid", self._tid())
+                        .select("_tid", *self._cols),
+                        "tabular", tid_col="_tid", item_cols=self._cols,
                     )
                 # full consequent enumeration — the reference's Apriori
                 # emits multi-item consequents (test_apriori.cpp goldens)

@@ -52,6 +52,7 @@ def discover_cfds(
     max_lhs: int = 2,
     rhs_columns: list[str] | None = None,
     prune_specializations_of_exact: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Mine all qualifying CFD rules with ``|LHS| <= max_lhs``.
 
@@ -88,8 +89,7 @@ def discover_cfds(
     if not cands:
         raise ValueError("no CFD candidates (need >= 2 columns)")
 
-    structs = []
-    for cid, (s, c, b) in enumerate(cands):
+    def _pattern_exprs(s, c):
         cset = set(c)
         pieces = []
         for a in s:  # s is sorted (combinations of sorted cols)
@@ -105,6 +105,11 @@ def discover_cfds(
             if var_attrs
             else F.lit("")
         )
+        return pattern, var_key
+
+    structs = []
+    for cid, (s, c, b) in enumerate(cands):
+        pattern, var_key = _pattern_exprs(s, c)
         notnull = F.lit(True)
         for a in (*s, b):
             notnull = notnull & F.col(a).isNotNull()
@@ -119,6 +124,30 @@ def discover_cfds(
                 ),
             )
         )
+    n_cands = len(cands)
+    if prune_specializations_of_exact:
+        # RHS-INDEPENDENT itemset signatures for the free-itemset test:
+        # one extra struct per distinct LHS itemset, null-filtered on the
+        # LHS attributes ONLY (a rule row's support excludes RHS-null rows,
+        # so per-rule stats would give the first-seen RHS's signature —
+        # wrong on NULL-bearing tables). Same exploded frame, no extra scan.
+        itemsets = sorted({(s, c) for (s, c, _b) in cands})
+        for off, (s, c) in enumerate(itemsets):
+            pattern, var_key = _pattern_exprs(s, c)
+            notnull = F.lit(True)
+            for a in s:
+                notnull = notnull & F.col(a).isNotNull()
+            structs.append(
+                F.when(
+                    notnull,
+                    F.struct(
+                        F.lit(n_cands + off).alias("cid"),
+                        pattern.alias("pat"),
+                        var_key.alias("vk"),
+                        F.lit("").alias("rv"),
+                    ),
+                )
+            )
     exploded = df.select(
         F.explode(
             F.filter(F.array(*structs), lambda x: x.isNotNull())
@@ -181,17 +210,32 @@ def discover_cfds(
 
     # ---- reference FDFirst semantics (fd_first_algorithm.cpp:120-171,
     # verified against the test_cfd_algos.cpp goldens), applied driver-side
-    # over the UNFILTERED per-candidate stats (bounded by the candidate
-    # count, no extra data pass):
+    # over min_support-FILTERED per-candidate stats (support is
+    # anti-monotone in itemset size, so every sub-itemset signature the
+    # free test needs and every exact rule that could prune a kept
+    # specialization has support ≥ the kept rule's ≥ min_support — the
+    # filter is lossless for the logic below and bounds the driver collect
+    # at minsup-qualified patterns instead of all distinct patterns):
     #   (1) variable-RHS rules are skipped when the LHS partition has one
     #       group or the RHS is constant over the pattern rows (those are
     #       const-rule territory — MineFD's sets_number==1 / IsConstRule),
     #   (2) the LHS itemset must be FREE: no proper sub-itemset with the
-    #       same (support, n_groups) partition signature (free_map_),
+    #       same (support, n_groups) RHS-INDEPENDENT partition signature
+    #       (free_map_),
     #   (3) an EXACT rule whose LHS keeps ≥1 variable attribute prunes
     #       every specialization for the same RHS (rules_[rhs] + Precedes;
     #       all-constant exact rules prune nothing — mushroom golden).
-    full = j.select(*base_cols, "n_groups", "g_max").collect()
+    # ONE collect carries both rule rows (cid < n_cands, dim-joined) and
+    # the itemset signature rows (cid >= n_cands, null rhs_attr).
+    rows = (
+        per_pat.filter(F.col("support") >= F.lit(int(min_support)))
+        .join(F.broadcast(dim), "cid", "left")
+        .select("cid", *base_cols, "n_groups", "g_max")
+        .collect()
+    )
+    if stats is not None:
+        stats["collected_rows"] = len(rows)
+    full = [r for r in rows if r["cid"] < n_cands]
 
     def _items(r):
         d = {}
@@ -200,13 +244,12 @@ def discover_cfds(
             d[a] = v
         return d
 
-    # itemset partition signatures (rhs-independent): (vars, consts) →
-    # (support, n_groups)
+    # itemset partition signatures (rhs-independent, LHS-null-filtered
+    # only): (vars, consts) → (support, n_groups)
     sig = {}
-    for r in full:
-        it = _items(r)
-        key = frozenset(it.items())
-        sig.setdefault(key, (r["support"], r["n_groups"]))
+    for r in rows:
+        if r["cid"] >= n_cands:
+            sig[frozenset(_items(r).items())] = (r["support"], r["n_groups"])
 
     def _free(it):
         key = frozenset(it.items())

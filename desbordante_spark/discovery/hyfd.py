@@ -54,7 +54,9 @@ def sample_agree_sets(
     max_agree_sets: int = 10_000,
     sample_fraction: float | None = None,
     offset: int = 1,
-    content_order: bool = False,
+    content_order: bool = True,
+    max_cluster_rows: int = 2_000_000,
+    stats: dict | None = None,
 ) -> list[tuple[frozenset[str], int]]:
     """HyFD Sampler: agree sets of cluster-neighbor row pairs, every column
     in ONE job. Returns ``[(agreeing column set, pair count), ...]`` ordered
@@ -69,11 +71,24 @@ def sample_agree_sets(
     ``offset`` pairs each row with its ``offset``-th cluster neighbor
     instead of the immediate one — successive offsets are DISJOINT pair
     samples, the growth schedule of the AID-style rounds
-    (discovery/aid.py). ``content_order=True`` sorts clusters by a hash of
-    the full row instead of ``monotonically_increasing_id`` so the sampled
-    pair set is a pure function of the data (partition-layout independent;
-    required when the caller's OUTPUT depends on the sample, as in AID —
-    the hybrid validator path doesn't need it)."""
+    (discovery/aid.py). ``content_order=True`` (the default — layout-
+    independent samples make every miner's job count reproducible) sorts
+    clusters by a hash of the full row instead of
+    ``monotonically_increasing_id`` so the sampled pair set is a pure
+    function of the data; it is REQUIRED when the caller's OUTPUT depends
+    on the sample, as in AID (the hybrid validator path re-checks
+    everything exactly either way).
+
+    ``max_cluster_rows`` bounds the per-window sort partition: a
+    low-cardinality column (a constant is the worst case) puts the whole
+    table into ONE ``(column, value)`` window partition — a single-task
+    sort at scale. Clusters above the bound are detected by one map-side-
+    combined aggregate (the heavy-hitter list is ≤ rows×cols/bound —
+    bounded driver memory) and salted into ~``max_cluster_rows``-sized
+    buckets; neighbor pairs are drawn within buckets, so every sampled
+    pair is still a REAL agreeing pair (the sample merely shrinks by the
+    bucket-boundary pairs — soundness unaffected). Pass ``stats={}`` to
+    receive ``{"salted_clusters": int}``."""
     cols = list(columns)
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=42)
@@ -93,7 +108,40 @@ def sample_agree_sets(
     e = base.select(
         "_rid", "v", F.explode(F.array(*structs)).alias("k")
     ).select("_rid", "v", "k.c", "k.val")
-    w = Window.partitionBy("c", "val").orderBy("_rid")
+    # heavy-hitter salting (see docstring): find oversized (c, val)
+    # clusters, split each into hash buckets of ~max_cluster_rows rows
+    heavy = (
+        e.groupBy("c", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(int(max_cluster_rows)))
+        .collect()
+    )
+    if stats is not None:
+        stats["salted_clusters"] = len(heavy)
+    if heavy:
+        hdim = df.sparkSession.createDataFrame(
+            [(int(r["c"]), r["val"], int(r["cnt"])) for r in heavy],
+            "hc int, hval string, hcnt bigint",
+        )
+        e = e.join(
+            F.broadcast(hdim),
+            (F.col("c") == F.col("hc"))
+            & F.col("val").eqNullSafe(F.col("hval")),
+            "left",
+        ).drop("hc", "hval")
+        e = e.withColumn(
+            "_salt",
+            F.when(
+                F.col("hcnt").isNotNull(),
+                F.pmod(
+                    F.xxhash64(F.col("_rid")),
+                    F.ceil(F.col("hcnt") / F.lit(int(max_cluster_rows))),
+                ),
+            ).otherwise(F.lit(0)),
+        ).drop("hcnt")
+    else:
+        e = e.withColumn("_salt", F.lit(0))
+    w = Window.partitionBy("c", "val", "_salt").orderBy("_rid")
     paired = e.withColumn("nv", F.lead("v", int(offset)).over(w)).filter(
         F.col("nv").isNotNull()
     )

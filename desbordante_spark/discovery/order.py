@@ -100,7 +100,10 @@ def _evaluate_od_candidates(
          for i, (ctx, a, b, d) in enumerate(cands)],
         "cid int, context string, lhs string, rhs string, direction string",
     )
-    out = F.broadcast(dim).join(per_cand, "cid", "left")
+    # broadcast the AGGREGATED side (tiny: one row per candidate) — a hint
+    # on the preserved left side of an outer join is unsupported and
+    # silently dropped, leaving a shuffle join
+    out = dim.join(F.broadcast(per_cand), "cid", "left")
     nsw = F.coalesce(F.col("num_swap_groups"), F.lit(0)).cast("long")
     tg = F.coalesce(F.col("total_groups"), F.lit(0)).cast("long")
     # total_groups = 0 means NO row had castable (av, bv) values — e.g. a

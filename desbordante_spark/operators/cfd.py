@@ -98,7 +98,10 @@ def cfd_tableau_metrics_df(
         [(i, _pattern_label(p)) for i, p in enumerate(tableau)],
         "pattern_id int, pattern string",
     )
-    j = F.broadcast(dim).join(m, "pattern_id", "left")
+    # broadcast the AGGREGATED side (tiny: one row per pattern) — a hint on
+    # the preserved left side of an outer join is unsupported and silently
+    # dropped, leaving a shuffle join
+    j = dim.join(F.broadcast(m), "pattern_id", "left")
     support = F.coalesce(F.col("total_rows"), F.lit(0)).cast("long")
     error = F.coalesce(F.col("error"), F.lit(0.0))
     holds = (

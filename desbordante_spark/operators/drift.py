@@ -82,12 +82,10 @@ def drift_metrics(
     # localCheckpoint here (measured 1.35s vs 1.83s at 200k docs): it skips
     # the RDD serialization round-trip and still survives the three
     # re-references. The entry is small enough that leaving eviction to
-    # Spark's LRU is fine. Falls back to the lazy plan on any failure.
-    try:
-        counts = sketch.cache()
-        counts.count()
-    except Exception:
-        counts = sketch
+    # Spark's LRU is fine. No exception guard: a failure here (executor
+    # OOM, bad input plan) must surface, not silently degrade to re-scans.
+    counts = sketch.cache()
+    counts.count()
     if baseline_partition is not None:
         base_counts = (
             counts.filter(F.col("partition") == baseline_partition)
@@ -214,16 +212,18 @@ def quantile_drift(
         )
     )
     # the sketch is tiny and referenced twice (baseline + join) — same
-    # eager-cache rationale as drift_metrics above
-    try:
-        sk = sk.cache()
-        sk.count()
-    except Exception:
-        pass
+    # eager-cache rationale (and same no-guard policy) as drift_metrics
+    sk = sk.cache()
+    sk.count()
     if baseline_partition is not None:
         base = sk.filter(F.col("partition") == baseline_partition).select(
             F.col("q").alias("bq"), F.col("n_rows").alias("n_baseline")
         )
+        if base.isEmpty():
+            raise ValueError(
+                f"baseline_partition {baseline_partition!r} matches no rows "
+                f"of {partition_col!r}"
+            )
         parts = sk.filter(F.col("partition") != baseline_partition)
     else:
         # per-prob median across partitions (tiny frame: |partitions| x
@@ -244,9 +244,15 @@ def quantile_drift(
         )
         parts = sk
     span = F.col("bq")[len(ps) - 1] - F.col("bq")[0]
-    shift = F.array_max(
-        F.zip_with("q", "bq", lambda a, b: F.abs(a - b))
-    ) / F.when(span > 0, span).otherwise(F.lit(float("inf")))
+    disp = F.array_max(F.zip_with("q", "bq", lambda a, b: F.abs(a - b)))
+    # a constant (zero-span) baseline cannot normalize — but any nonzero
+    # displacement off a constant baseline IS drift; +inf shift, not the
+    # silent 0/drifted=False a blind division would produce
+    shift = (
+        F.when(span > 0, disp / span)
+        .when(disp > 0, F.lit(float("inf")))
+        .otherwise(F.lit(0.0))
+    )
     return (
         parts.crossJoin(F.broadcast(base))
         .select(
