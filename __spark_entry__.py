@@ -631,6 +631,20 @@ def _q_ucc_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(",".join(u),) for u in uccs], "ucc string")
 
 
+def _q_ucc_discovery_hybrid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyUCC-style hybrid miner (discovery/hyucc.py): sampled negative cover
+    # refutes UCC candidates, batched validation exactly confirms the
+    # survivors — the reference pins HyUCC to the verifier's result set
+    # (test_ucc_verifier.cpp:96-123), so it shares ucc_discovery_orders'
+    # oracle
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+
+    uccs = discover_uccs_hybrid(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_size=2
+    )
+    return spark.createDataFrame([(",".join(u),) for u in uccs], "ucc string")
+
+
 def _q_ind_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.discovery.spider import discover_unary_inds
 
@@ -1083,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "afd_discovery_orders": _q_afd_discovery_orders,
         "od_discovery_lineitem": _q_od_discovery_lineitem,
         "ucc_discovery_orders": _q_ucc_discovery_orders,
+        "ucc_discovery_hybrid_orders": _q_ucc_discovery_hybrid_orders,
         "ind_discovery_tpch": _q_ind_discovery_tpch,
         "ind_discovery_nary": _q_ind_discovery_nary,
         "dd_violations_supplier": _q_dd_violations_supplier,
@@ -2411,6 +2426,7 @@ FROM m
         "afd_discovery_orders": _afd_discovery_oracle(0.3),
         "od_discovery_lineitem": _od_discovery_oracle(0),
         "ucc_discovery_orders": _ucc_minimal_oracle(),
+        "ucc_discovery_hybrid_orders": _ucc_minimal_oracle(),
         "ind_discovery_tpch": _ind_discovery_oracle(),
         "ind_discovery_nary": _nary_ind_oracle(),
         "span_invariant_violations": _span_invariant_oracle(),

@@ -265,13 +265,16 @@ class _pfd:
 # -------------------------------------------------------------- UCC mining
 
 class _UccMiner(_Algo):
-    def execute(self, max_lhs: int | None = None, **_kw):
+    def _mine(self, df, k):
         from desbordante_spark.discovery.tane import discover_uccs
 
+        return discover_uccs(df, max_size=k)
+
+    def execute(self, max_lhs: int | None = None, **_kw):
         k = max_lhs if max_lhs is not None else min(
             _DEFAULT_MAX_LHS, len(self._cols)
         )
-        self._uccs = discover_uccs(self._df.select(*self._cols), max_size=k)
+        self._uccs = self._mine(self._df.select(*self._cols), k)
         return self
 
     def get_uccs(self):
@@ -284,7 +287,17 @@ class _UccMiner(_Algo):
 class _ucc:
     class algorithms:
         class HyUCC(_UccMiner):
-            pass
+            """The real hybrid strategy (discovery/hyucc.py) — sampled
+            negative cover + batched validation; output pinned to the
+            levelwise miner's, like the reference pins HyUCC to the
+            verifier (test_ucc_verifier.cpp:96-123)."""
+
+            def _mine(self, df, k):
+                from desbordante_spark.discovery.hyucc import (
+                    discover_uccs_hybrid,
+                )
+
+                return discover_uccs_hybrid(df, max_size=k)
 
         class PyroUCC(_UccMiner):
             pass

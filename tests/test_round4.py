@@ -236,3 +236,62 @@ def test_sampler_content_order_default_deterministic(spark):
     sa = sample_agree_sets(a, ["x", "y", "z"])
     sb = sample_agree_sets(b, ["x", "y", "z"])
     assert sa == sb
+
+
+# ------------------------------------------------------ HyUCC hybrid miner
+
+def _norm_uccs(uccs):
+    return sorted((tuple(sorted(u)) for u in uccs), key=lambda s: (len(s), s))
+
+
+def test_hyucc_matches_levelwise_on_testfd(spark, testfd):
+    """VERDICT item 4 — the reference pins HyUCC to the verifier's result
+    set (test_ucc_verifier.cpp:96-123); here: identical output to the
+    levelwise miner on the reference golden table."""
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    df = testfd.drop("row_id")
+    hybrid = discover_uccs_hybrid(df, max_size=3)
+    level = discover_uccs(df, max_size=3)
+    assert _norm_uccs(hybrid) == _norm_uccs(level)
+
+
+def test_hyucc_matches_levelwise_generated(spark):
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    df = spark.range(10_000).select(
+        F.col("id").cast("string").alias("pk"),
+        (F.col("id") % 100).cast("string").alias("a"),
+        (F.col("id") % 101).cast("string").alias("b"),  # (a, b) unique
+        F.lit("k").alias("const"),
+    )
+    hybrid = discover_uccs_hybrid(df, max_size=2)
+    level = discover_uccs(df, max_size=2)
+    assert _norm_uccs(hybrid) == _norm_uccs(level)
+    assert ("pk",) in hybrid and ("a", "b") in hybrid
+
+
+def test_hyucc_two_phase_matches_exact(spark, testfd):
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+
+    df = testfd.drop("row_id")
+    assert _norm_uccs(discover_uccs_hybrid(df, max_size=2, exact=False)) == \
+        _norm_uccs(discover_uccs_hybrid(df, max_size=2, exact=True))
+
+
+def test_hyucc_lattice_skip_evidence(spark):
+    """On a wide table the sampled negative cover must leave the validator
+    far fewer candidates than the full lattice."""
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+
+    cols = [F.col("id").cast("string").alias("pk")] + [
+        (F.col("id") % m).cast("string").alias(f"c{i}")
+        for i, m in enumerate([2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    ]
+    df = spark.range(5_000).select(*cols)  # 12 columns
+    stats: dict = {}
+    uccs = discover_uccs_hybrid(df, max_size=3, stats=stats)
+    assert ("pk",) in uccs
+    assert stats["validated_candidates"] < stats["full_lattice_candidates"] / 3
