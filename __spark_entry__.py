@@ -531,6 +531,24 @@ def _q_afd_discovery_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_afd_discovery_pyro_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pyro-style estimate-driven ascend/descend traversal (discovery/
+    # pyro.py): sample estimates steer the walk, every classification is
+    # an exact score — IDENTICAL output to the levelwise AFD miner, so it
+    # shares afd_discovery_orders' oracle
+    from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+    afds = discover_afds_pyro(
+        _read(spark, sf_dir, "orders").select(*_AFD_COLS),
+        max_lhs=2, max_error=0.3, error_measure="per_tuple",
+        sample_fraction=0.1,
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs, err) for lhs, rhs, err in afds],
+        "lhs string, rhs string, error double",
+    )
+
+
 def _q_fd_discovery_hybrid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyFD-style hybrid miner (discovery/hyfd.py): sampled negative cover
     # + batched validation — must produce the SAME minimal-FD set as the
@@ -1120,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_hybrid_orders": _q_fd_discovery_hybrid_orders,
         "aucc_discovery_orders": _q_aucc_discovery_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
+        "afd_discovery_pyro_orders": _q_afd_discovery_pyro_orders,
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
         "fd_discovery_fun_orders": _q_fd_discovery_fun_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
@@ -2543,6 +2562,7 @@ FROM m
         "fd_discovery_hybrid_orders": _fd_minimal_oracle(),
         "aucc_discovery_orders": _aucc_discovery_oracle(),
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
+        "afd_discovery_pyro_orders": _afd_discovery_oracle(0.3),
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
         "fd_discovery_fun_orders": _fd_minimal_oracle(),
         "fd_discovery_dfd_orders": _fd_minimal_oracle(),

@@ -114,6 +114,7 @@ def discover_afds(
     error_measure: str = "per_tuple",
     sample_fraction: float | None = None,
     sample_margin: float = 0.05,
+    stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str, float]]:
     """All minimal AFDs ``X -> A`` with error ≤ ``max_error`` and
     ``|X| <= max_lhs``. Returns sorted ``[(lhs_tuple, rhs, error), ...]``;
@@ -125,7 +126,13 @@ def discover_afds(
     batched job, far less data) and only candidates whose ESTIMATED error is
     ≤ ``max_error + sample_margin`` get the exact pass. Every reported AFD
     carries an exact error; the (documented) probabilistic risk is pruning a
-    true AFD whose sample estimate exceeded the margin.
+    true AFD whose sample estimate exceeded the margin. For the traversal
+    that SKIPS lattice regions instead of enumerating every level, see
+    ``pyro.discover_afds_pyro`` (identical output, estimate-steered).
+
+    Pass ``stats={}`` to receive ``{"exact_scored", "estimate_scored"}``
+    (candidate evaluation counts — the levelwise baseline for the Pyro
+    traversal's node-visit evidence).
     """
     if error_measure not in ("per_tuple", "per_value", "g1"):
         raise ValueError(f"unknown error_measure {error_measure!r}")
@@ -139,15 +146,19 @@ def discover_afds(
         if sample_fraction is not None and sample_fraction < 1.0
         else None
     )
+    counters = {"exact_scored": 0, "estimate_scored": 0}
 
     def score(cands: list[tuple[tuple[str, ...], str]]) -> dict[int, float]:
         """Exact scores for all candidates; with a sample, estimate first
         and exact-score only the plausible ones (others get inf)."""
         if sample is None:
+            counters["exact_scored"] += len(cands)
             return _score_level(df, cands, error_measure)
+        counters["estimate_scored"] += len(cands)
         est = _score_level(sample, cands, error_measure)
         todo = [i for i in range(len(cands))
                 if est.get(i, 0.0) <= max_error + sample_margin]
+        counters["exact_scored"] += len(todo)
         exact = (
             _score_level(df, [cands[i] for i in todo], error_measure)
             if todo else {}
@@ -190,4 +201,6 @@ def discover_afds(
                 if c > s[-1]:
                     nxt.add(tuple(sorted({*s, c})))
         level_sets = sorted(nxt)
+    if stats is not None:
+        stats.update(counters)
     return sorted(afds)

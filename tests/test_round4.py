@@ -295,3 +295,43 @@ def test_hyucc_lattice_skip_evidence(spark):
     uccs = discover_uccs_hybrid(df, max_size=3, stats=stats)
     assert ("pk",) in uccs
     assert stats["validated_candidates"] < stats["full_lattice_candidates"] / 3
+
+
+# ----------------------------------------------------- Pyro AFD traversal
+
+def test_pyro_matches_levelwise(spark, testfd):
+    """VERDICT item 6 — Pyro's estimate-driven traversal: estimates only
+    steer the walk, every classification is exact, so the output is
+    IDENTICAL to the levelwise miner (not just in expectation)."""
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+    df = testfd.drop("row_id")
+    for thr, meas in ((0.05, "per_tuple"), (0.3, "g1")):
+        a = discover_afds(df, max_lhs=2, max_error=thr, error_measure=meas)
+        b = discover_afds_pyro(
+            df, max_lhs=2, max_error=thr, error_measure=meas
+        )
+        assert a == b, (thr, meas)
+
+
+def test_pyro_skips_lattice_nodes(spark):
+    """The node-visit evidence: on a deep lattice (8 columns, max_lhs=4)
+    where a key column settles every RHS at level 1, the traversal
+    classifies whole non-dependency subspaces via maximal non-deps and
+    exactly scores FAR fewer candidates than levelwise enumeration."""
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+    cols = [F.col("id").cast("string").alias("k")] + [
+        F.xxhash64(F.col("id"), F.lit(i)).cast("string")
+        .substr(-1, 1).alias(f"c{i}")
+        for i in range(7)
+    ]
+    df = spark.range(1500).select(*cols).cache()
+    s1: dict = {}
+    s2: dict = {}
+    a = discover_afds(df, max_lhs=4, max_error=0.05, stats=s1)
+    b = discover_afds_pyro(df, max_lhs=4, max_error=0.05, stats=s2)
+    assert a == b
+    assert s2["exact_scored"] < s1["exact_scored"] * 0.6, (s1, s2)
