@@ -28,6 +28,8 @@ def discover_unary_inds(
     columns: dict[str, list[str]] | None = None,
     max_error: float = 0.0,
     cast_to: str = "string",
+    null_value: str | None = None,
+    equal_nulls: bool = True,
 ) -> DataFrame:
     """All unary INDs (``max_error=0``) or AINDs among the given columns.
 
@@ -35,6 +37,18 @@ def discover_unary_inds(
     ordered pair with ``error <= max_error``; ``lhs``/``rhs`` are
     ``table.column`` strings. Values are compared under a common cast
     (``cast_to``), mirroring Spider's string-typed domains.
+
+    ``null_value`` enables the reference's CSV null semantics (the parser
+    maps only the EMPTY cell to null, column_layout_relation_data.cpp:
+    43-44; pass ``""`` for tables loaded with literal empty strings):
+    columns consisting ENTIRELY of ``null_value`` are excluded outright
+    (column_domain.cpp:283-291), and with ``equal_nulls=False`` every
+    null forms its own singleton merge group (spider.cpp:80), which
+    intersects a null-bearing column's superset refs down to itself — so
+    such a column yields no INDs as an LHS, and nulls never match as RHS
+    values. ``equal_nulls=True`` treats null as one ordinary domain
+    value. ``null_value=None`` (default) keeps the engine's SQL
+    semantics: NULL rows are dropped from domains on both sides.
     """
     parts = []
     names = []
@@ -43,17 +57,33 @@ def discover_unary_inds(
         for c in cols:
             cid = f"{tname}.{c}"
             names.append(cid)
-            parts.append(
-                df.select(
-                    F.col(c).cast(cast_to).alias("v"),
-                    F.lit(cid).alias("col_id"),
-                )
-                .filter(F.col("v").isNotNull())
-                .distinct()
-            )
+            v = F.col(c).cast(cast_to)
+            if null_value is not None:
+                v = F.coalesce(v, F.lit(null_value))
+            part = df.select(v.alias("v"), F.lit(cid).alias("col_id"))
+            if null_value is None:
+                part = part.filter(F.col("v").isNotNull())
+            parts.append(part.distinct())
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    lhs_excluded: set[str] = set()
+    if null_value is not None:
+        # one tiny job over the distinct-value union: which columns carry
+        # the null token, which are nothing but it
+        flags = {
+            r["col_id"]: (int(r["nulls"]), int(r["n"]))
+            for r in u.groupBy("col_id").agg(
+                F.sum((F.col("v") == null_value).cast("int")).alias("nulls"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+        all_null = {c for c, (nn, n) in flags.items() if nn == n}
+        u = u.filter(~F.col("col_id").isin(sorted(all_null)))
+        if not equal_nulls:
+            u = u.filter(F.col("v") != null_value)
+            lhs_excluded = {c for c, (nn, _n) in flags.items() if nn > 0}
+        lhs_excluded |= all_null
     # per value: which columns contain it
     by_value = u.groupBy("v").agg(F.collect_set("col_id").alias("cols"))
     # per (lhs in cols, rhs in cols) pair: co-occurrence counts
@@ -80,4 +110,6 @@ def discover_unary_inds(
         )
         .withColumn("holds", (F.col("error") <= F.lit(max_error)).cast("int"))
     )
+    if lhs_excluded:
+        out = out.filter(~F.col("lhs").isin(sorted(lhs_excluded)))
     return out.filter(F.col("error") <= F.lit(max_error)).orderBy("lhs", "rhs")
