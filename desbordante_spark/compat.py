@@ -347,30 +347,51 @@ class _ind:
 class _od:
     class algorithms:
         class Fastod(_Algo):
-            def execute(self, max_context: int = 1, **_kw):
-                from desbordante_spark.discovery.order import discover_ods_auto
+            """Canonical set-based OD mining (discovery/fastod.py), printed
+            in the reference's exact forms (canonical_od.cpp:17-41 —
+            1-based attribute indices): ascending ``{1,3} : 2<= ~ 4<=``,
+            descending ``... 2>= ~ 4<=``, simple ``{1} : [] -> 2<=``."""
 
-                rows = discover_ods_auto(
-                    self._df.select(*self._cols), self._cols, self._cols,
-                    max_context=max_context,
-                ).collect()
-                self._ods = [r for r in rows if r["holds"]]
+            def execute(self, **_kw):
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                from desbordante_spark.discovery.fastod import (
+                    discover_ods_fastod,
+                )
+
+                df = self._df.select(*self._cols)
+                # order-preserving rank encoding, mirroring the reference's
+                # typed-comparator ranking (storage/data_frame.cpp:125-171):
+                # numeric-castable values order numerically, the rest
+                # lexicographically after them
+                df = df.select(*[
+                    F.dense_rank().over(
+                        Window.orderBy(
+                            F.col(c).try_cast("double").asc_nulls_last(),
+                            F.col(c).cast("string"),
+                        )
+                    ).alias(c)
+                    for c in self._cols
+                ])
+                self._res = discover_ods_fastod(df, columns=self._cols)
                 return self
 
-            def _fmt(self, r):
-                ctx = "{" + r["context"].replace(",", ", ") + "}"
-                return f"{ctx} : {r['lhs']} -> {r['rhs']} ({r['direction']})"
+            @staticmethod
+            def _ctx(s):
+                return "{" + ",".join(str(i + 1) for i in s) + "}"
 
             def get_asc_ods(self):
-                return [self._fmt(r) for r in self._ods
-                        if r["direction"] == "asc"]
+                return [f"{self._ctx(c)} : {a + 1}<= ~ {b + 1}<="
+                        for c, a, b in self._res["asc"]]
 
             def get_desc_ods(self):
-                return [self._fmt(r) for r in self._ods
-                        if r["direction"] == "desc"]
+                return [f"{self._ctx(c)} : {a + 1}>= ~ {b + 1}<="
+                        for c, a, b in self._res["desc"]]
 
             def get_simple_ods(self):
-                return [self._fmt(r) for r in self._ods]
+                return [f"{self._ctx(c)} : [] -> {r + 1}<="
+                        for c, r in self._res["simple"]]
 
         class Order(_Algo):
             def execute(self, **_kw):

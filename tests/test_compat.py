@@ -267,10 +267,13 @@ def test_compat_od_mining():
 
     od = desbordante.od.algorithms.Fastod()
     od.load_data(table=(f"{DS}/salary.csv", ",", True))
-    od.execute(max_context=1)
+    od.execute()
+    # canonical reference forms (1-based indices: 1=year,
+    # 2=employee_grade, 3=avg_salary): within each year, higher grade
+    # orders higher salary
+    assert "{1} : 2<= ~ 3<=" in od.get_asc_ods()
     simple = od.get_simple_ods()
-    assert simple
-    assert any("employee_grade" in s and "avg_salary" in s for s in simple)
+    assert simple and any(s.endswith("-> 3<=") for s in simple)
 
 
 def test_compat_cfd_mining():
