@@ -353,27 +353,21 @@ class _od:
             descending ``... 2>= ~ 4<=``, simple ``{1} : [] -> 2<=``."""
 
             def execute(self, **_kw):
-                from pyspark.sql import Window
-                from pyspark.sql import functions as F
-
                 from desbordante_spark.discovery.fastod import (
                     discover_ods_fastod,
                 )
+                from desbordante_spark.discovery.fastod_encode import (
+                    typed_rank_encode,
+                )
 
-                df = self._df.select(*self._cols)
-                # order-preserving rank encoding, mirroring the reference's
-                # typed-comparator ranking (storage/data_frame.cpp:125-171):
-                # numeric-castable values order numerically, the rest
-                # lexicographically after them
-                df = df.select(*[
-                    F.dense_rank().over(
-                        Window.orderBy(
-                            F.col(c).try_cast("double").asc_nulls_last(),
-                            F.col(c).cast("string"),
-                        )
-                    ).alias(c)
-                    for c in self._cols
-                ])
+                # the reference's typed-comparator rank encoding
+                # (storage/data_frame.cpp:125-171): deduced-numeric columns
+                # rank by parsed value alone ('1' == '1.0' == '01'), string
+                # columns byte-wise, mixed columns under the full
+                # ValueToString cross-type comparator
+                df = typed_rank_encode(
+                    self._df.select(*self._cols), self._cols
+                )
                 self._res = discover_ods_fastod(df, columns=self._cols)
                 return self
 

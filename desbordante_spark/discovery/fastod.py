@@ -32,15 +32,19 @@ its per-element scan against the previous group's max is equivalent for
 the boolean verdict by transitivity of the range ordering).
 
 Ordering caveat: values are compared under an order-preserving numeric
-cast (the reference rank-encodes each column under its typed comparator,
-storage/data_frame.cpp:125-171 — identical ordering for numeric data).
-Non-numeric columns would need the typed-comparator ranking and are out
-of scope here.
+cast — identical ordering for numeric data. For string/mixed-typed
+input, pre-encode with ``fastod_encode.typed_rank_encode``, the faithful
+replica of the reference's typed-comparator ranking
+(storage/data_frame.cpp:125-171); the string-valued reference goldens
+(TestFD, WDC_*) replay bit-for-bit through that path
+(tests/test_fastod_golden.py).
 """
 
 from __future__ import annotations
 
 import os
+import threading
+import time
 from collections import defaultdict
 from itertools import combinations
 
@@ -52,10 +56,23 @@ from desbordante_spark.discovery.order import _evaluate_od_candidates
 __all__ = ["discover_ods_fastod"]
 
 _SEP = "\x01"
+_NULL = "\x00∅"
 
-#: validity-check batch size — bounds the per-job struct-literal count so
-#: plan analysis stays fast even on wide lattices
-_CHUNK = 4000
+#: hard cap on the validity-check batch size — bounds the per-job
+#: struct-literal count so plan analysis stays fast even on wide lattices.
+#: The EFFECTIVE chunk is budgeted by pair mass: each check job explodes
+#: the frame by the chunk size (chunk structs per row), so
+#: ``chunk = pair_mass_budget // n_rows`` keeps one job's pre-aggregation
+#: volume at ~``pair_mass_budget`` exploded rows regardless of frame
+#: height (the discovery/common.py batching policy) — a fixed 4000-chunk
+#: would be a scale-killer at 10^8+ rows (4000 × n_rows structs/job).
+_CHUNK_MAX = 4000
+
+#: default exploded-rows-per-job budget; at the golden/profile scales the
+#: reference runs (≤ ~10^4 rows) this reproduces the old 4000-chunk
+#: behavior exactly, while tall frames shrink the chunk instead of
+#: multiplying the job volume
+_PAIR_MASS_BUDGET = 40_000_000
 
 #: above this candidate count, whole-stage codegen is disabled for the
 #: check job: Janino fails to compile the thousands-of-branches generate
@@ -63,9 +80,21 @@ _CHUNK = 4000
 #: far more than interpreted evaluation of these driver-bounded batches
 _CODEGEN_OFF_ABOVE = 250
 
+#: serializes codegen-toggle windows: the conf flip is SESSION-GLOBAL, so
+#: two concurrent discovery calls on one session could interleave their
+#: save/restore and leave codegen off. The lock makes toggle windows
+#: single-flight. (An unrelated concurrent job on the same session during
+#: a window still runs interpreted — correct, just slower; documented.)
+_CODEGEN_LOCK = threading.Lock()
+
+
+class _TimeUp(Exception):
+    """Internal: the reference's IsTimeUp() fired (fastod.cpp:18-19)."""
+
 
 class _no_codegen:
-    """Temporarily disable whole-stage codegen on the session."""
+    """Temporarily disable whole-stage codegen on the session
+    (single-flight via _CODEGEN_LOCK)."""
 
     def __init__(self, spark, active: bool):
         self.spark = spark
@@ -73,6 +102,7 @@ class _no_codegen:
 
     def __enter__(self):
         if self.active:
+            _CODEGEN_LOCK.acquire()
             self.prev = self.spark.conf.get(
                 "spark.sql.codegen.wholeStage", "true"
             )
@@ -82,24 +112,41 @@ class _no_codegen:
     def __exit__(self, *exc):
         if self.active:
             self.spark.conf.set("spark.sql.codegen.wholeStage", self.prev)
+            _CODEGEN_LOCK.release()
         return False
+
+
+def _check_deadline(deadline: float | None) -> None:
+    if deadline is not None and time.monotonic() >= deadline:
+        raise _TimeUp
 
 
 def _constancy_checks(
     df: DataFrame,
     cands: list[tuple[tuple[str, ...], str]],
+    chunk_size: int = _CHUNK_MAX,
+    deadline: float | None = None,
 ) -> list[bool]:
-    """One batched job per ``_CHUNK``: for (context cols, right col),
+    """One batched job per ``chunk_size``: for (context cols, right col),
     is right CONSTANT within every context group (the reference's
     ``StrippedPartition::Split`` == False)."""
     out: list[bool] = []
-    for lo in range(0, len(cands), _CHUNK):
-        chunk = cands[lo:lo + _CHUNK]
+    for lo in range(0, len(cands), chunk_size):
+        _check_deadline(deadline)
+        chunk = cands[lo:lo + chunk_size]
         structs = []
         for i, (ctx, r) in enumerate(chunk):
+            # coalesce to a sentinel BEFORE concat_ws: concat_ws silently
+            # skips NULL elements, which would collapse ('a', NULL) and
+            # (NULL, 'a') into one context group (pfdtane._score_level's
+            # _NULL pattern)
             ctxk = (
                 F.concat_ws(
-                    _SEP, *[F.col(c).cast("string") for c in ctx]
+                    _SEP,
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                        for c in ctx
+                    ],
                 )
                 if ctx
                 else F.lit("")
@@ -132,11 +179,14 @@ def _constancy_checks(
 def _swap_checks(
     df: DataFrame,
     cands: list[tuple[tuple[str, ...], str, str, str]],
+    chunk_size: int = _CHUNK_MAX,
+    deadline: float | None = None,
 ) -> list[bool]:
     """Batched order-compatibility verdicts via the shared evaluator."""
     out: list[bool] = []
-    for lo in range(0, len(cands), _CHUNK):
-        chunk = cands[lo:lo + _CHUNK]
+    for lo in range(0, len(cands), chunk_size):
+        _check_deadline(deadline)
+        chunk = cands[lo:lo + chunk_size]
         with _no_codegen(df.sparkSession, len(chunk) > _CODEGEN_OFF_ABOVE):
             rows = _evaluate_od_candidates(df, chunk, 0).collect()
         verdict = {
@@ -152,18 +202,37 @@ def discover_ods_fastod(
     df: DataFrame,
     columns: list[str] | None = None,
     stats: dict | None = None,
+    time_limit: float | None = None,
+    pair_mass_budget: int = _PAIR_MASS_BUDGET,
 ) -> dict[str, list]:
     """Complete canonical set-based OD discovery, FASTOD traversal.
 
     Returns ``{"asc": [(context_idx_tuple, left_idx, right_idx), ...],
     "desc": [...], "simple": [(context_idx_tuple, right_idx), ...]}``
     with indices into ``columns`` (order as given — the reference's
-    column order). Pass ``stats={}`` for
-    ``{"levels", "simple_checks", "swap_checks"}``.
+    column order). Pass ``stats={}`` for ``{"levels", "simple_checks",
+    "swap_checks", "chunk_size", "n_rows", "complete"}``.
+
+    ``time_limit`` (seconds; None/0 = unlimited) mirrors the reference's
+    escape hatch on explosive lattices (fastod.h:31 time_limit_seconds_,
+    fastod.cpp:18-19 IsTimeUp): on expiry the traversal stops cleanly at
+    the next check boundary and returns the dependencies validated so
+    far (``stats["complete"] = False``). ``pair_mass_budget`` bounds one
+    check job's exploded-row volume — the batch chunk is
+    ``budget // n_rows`` (capped at 4000), so per-job pre-aggregation
+    mass stays constant as the frame grows.
     """
     cols = list(columns or df.columns)
     n = len(cols)
     schema = frozenset(range(n))
+    n_rows = df.count()
+    chunk_size = max(
+        1, min(_CHUNK_MAX, pair_mass_budget // max(1, n_rows))
+    )
+    deadline = (
+        time.monotonic() + float(time_limit) if time_limit else None
+    )
+    complete = True
 
     cc: dict[frozenset, frozenset] = {frozenset(): schema}
     cs: dict[str, dict[frozenset, set]] = {
@@ -208,10 +277,6 @@ def discover_ods_fastod(
             (tuple(cols[i] for i in sorted(x - {attr})), cols[attr])
             for x, attr in simple_reqs
         ]
-        simple_ok = _constancy_checks(df, simple_cands)
-        simple_valid = dict(zip(simple_reqs, simple_ok))
-        n_simple += len(simple_reqs)
-
         pair_reqs: list[tuple[frozenset, int, int, str]] = []
         for x in sorted(ctxs, key=sorted):
             for d in ("asc", "desc"):
@@ -223,7 +288,18 @@ def discover_ods_fastod(
              cols[a], cols[b], d)
             for x, a, b, d in pair_reqs
         ]
-        pair_ok = _swap_checks(df, pair_cands)
+        try:
+            simple_ok = _constancy_checks(
+                df, simple_cands, chunk_size, deadline
+            )
+            pair_ok = _swap_checks(df, pair_cands, chunk_size, deadline)
+        except _TimeUp:
+            # reference semantics: stop cleanly, keep everything already
+            # validated (is_complete_ = false, fastod.cpp:138-263)
+            complete = False
+            break
+        simple_valid = dict(zip(simple_reqs, simple_ok))
+        n_simple += len(simple_reqs)
         pair_valid = dict(zip(pair_reqs, pair_ok))
         n_swap += len(pair_reqs)
         if os.environ.get("SPARK_GRAFT_FASTOD_DEBUG"):
@@ -278,4 +354,7 @@ def discover_ods_fastod(
         stats["levels"] = level - 1
         stats["simple_checks"] = n_simple
         stats["swap_checks"] = n_swap
+        stats["chunk_size"] = chunk_size
+        stats["n_rows"] = n_rows
+        stats["complete"] = complete
     return results

@@ -19,9 +19,15 @@ aggregation — (cid, key, value) counts → per-cluster size + max-value count
 ∅ → A level are handled by the driver's candidate bookkeeping, which never
 touches data.
 
-Both measures are monotone non-increasing in the LHS (finer partitions keep
-at least as many rows), so subset-pruning is exact, mirroring the
-reference's lattice pruning.
+Pruning note: the only prune here is MINIMALITY (a qualifying subset
+removes its supersets for the same RHS) — definitional and sound for any
+measure. ``g1`` and ``per_tuple`` are additionally monotone non-increasing
+in the LHS (finer partitions keep at least as many kept rows); ``per_value``
+is NOT anti-monotone (splitting a cluster can raise the equal-weight
+per-cluster average, e.g. {x:9,y:1} → {x:1,y:1}+{x:8} lifts the error from
+0.1 to 0.25), which is why the Pyro traversal (pyro.py) — whose non-dep
+coverage prune relies on anti-monotonicity — delegates per_value to this
+levelwise enumeration.
 """
 
 from __future__ import annotations

@@ -26,8 +26,12 @@ Spark-first mapping:
 - **Coverage algebra** (the reference's SearchSpace/launchpad machinery,
   pyro.h + search_space.cpp): a set X is CLASSIFIED when X ⊇ some minimal
   dependency (qualifies, non-minimal) or X ⊆ some known exact
-  non-dependency (fails — both error measures are monotone non-increasing
-  in the LHS). New launchpads are the minimal hitting sets of
+  non-dependency (fails — sound because ``g1`` and ``per_tuple`` are
+  monotone non-increasing in the LHS; ``per_value`` is NOT anti-monotone
+  — splitting a cluster can raise the equal-weight per-cluster average —
+  so this miner delegates ``per_value`` to the levelwise enumeration,
+  whose minimality pruning is definitional and measure-agnostic).
+  New launchpads are the minimal hitting sets of
   ``{U \\ N : N ∈ non_deps}`` not covering a found dependency — computed
   on the driver over column indices, never data.
 
@@ -136,13 +140,32 @@ def discover_afds_pyro(
     """All minimal AFDs ``X -> A`` with error ≤ ``max_error`` and
     ``|X| <= max_lhs`` — IDENTICAL output to ``pfdtane.discover_afds``
     (same measures, same minimality), found by Pyro's estimate-guided
-    boundary traversal instead of levelwise enumeration.
+    boundary traversal instead of levelwise enumeration (``per_value``
+    is served by the levelwise miner directly — the traversal's coverage
+    pruning needs an anti-monotone measure; see module docstring).
 
     Pass ``stats={}`` to receive ``{"exact_scored", "estimate_scored",
     "rounds"}`` — the node-visit evidence (compare ``exact_scored``
     against the levelwise miner's candidate count)."""
     if error_measure not in ("per_tuple", "per_value", "g1"):
         raise ValueError(f"unknown error_measure {error_measure!r}")
+    if error_measure == "per_value":
+        # per_value is not anti-monotone (see module docstring): the
+        # covered_non prune and trickle-down minimization would be unsound.
+        # Delegate to the levelwise miner — identical semantics, exact.
+        from desbordante_spark.discovery.pfdtane import discover_afds
+
+        lw_stats: dict = {}
+        out = discover_afds(
+            df, columns=columns, max_lhs=max_lhs, max_error=max_error,
+            error_measure=error_measure, stats=lw_stats,
+        )
+        if stats is not None:
+            stats["exact_scored"] = lw_stats.get("exact_scored", 0)
+            stats["estimate_scored"] = lw_stats.get("estimate_scored", 0)
+            stats["rounds"] = 0
+            stats["fallback"] = "levelwise_per_value"
+        return out
     from desbordante_spark.discovery.common import content_sample
 
     cols = sorted(columns or df.columns)

@@ -43,12 +43,16 @@ def discover_unary_inds(
     43-44; pass ``""`` for tables loaded with literal empty strings):
     columns consisting ENTIRELY of ``null_value`` are excluded outright
     (column_domain.cpp:283-291), and with ``equal_nulls=False`` every
-    null forms its own singleton merge group (spider.cpp:80), which
-    intersects a null-bearing column's superset refs down to itself — so
-    such a column yields no INDs as an LHS, and nulls never match as RHS
-    values. ``equal_nulls=True`` treats null as one ordinary domain
-    value. ``null_value=None`` (default) keeps the engine's SQL
-    semantics: NULL rows are dropped from domains on both sides.
+    null forms its own singleton merge group (spider.cpp:80). Under
+    ``max_error=0`` a singleton null cluster can never be covered, so a
+    null-bearing column yields no exact INDs as an LHS and is excluded
+    outright; under ``max_error>0`` (AIND) the null clusters merely ADD
+    error — each null row counts as one unmatched singleton cluster in
+    the error denominator (``error = 1 - overlap / (lhs_distinct +
+    lhs_null_rows)``) and nulls never match as RHS values.
+    ``equal_nulls=True`` treats null as one ordinary domain value.
+    ``null_value=None`` (default) keeps the engine's SQL semantics: NULL
+    rows are dropped from domains on both sides.
     """
     parts = []
     names = []
@@ -68,6 +72,7 @@ def discover_unary_inds(
     for p in parts[1:]:
         u = u.unionByName(p)
     lhs_excluded: set[str] = set()
+    null_rows: dict[str, int] = {}
     if null_value is not None:
         # one tiny job over the distinct-value union: which columns carry
         # the null token, which are nothing but it
@@ -82,7 +87,43 @@ def discover_unary_inds(
         u = u.filter(~F.col("col_id").isin(sorted(all_null)))
         if not equal_nulls:
             u = u.filter(F.col("v") != null_value)
-            lhs_excluded = {c for c, (nn, _n) in flags.items() if nn > 0}
+            if max_error == 0:
+                # exact INDs: one uncoverable singleton null cluster is
+                # already fatal for the LHS
+                lhs_excluded = {c for c, (nn, _n) in flags.items() if nn > 0}
+            else:
+                # AIND: each null ROW is one unmatched singleton cluster —
+                # count rows (not distinct tokens) per null-bearing column,
+                # one tiny aggregate per table
+                for tname, df in tables.items():
+                    tcols = (
+                        (columns or {}).get(tname, df.columns)
+                        if columns
+                        else df.columns
+                    )
+                    tcols = [
+                        c
+                        for c in tcols
+                        if f"{tname}.{c}" in flags
+                        and flags[f"{tname}.{c}"][0] > 0
+                        and f"{tname}.{c}" not in all_null
+                    ]
+                    if not tcols:
+                        continue
+                    row = df.agg(*[
+                        F.sum(
+                            (
+                                F.coalesce(
+                                    F.col(c).cast(cast_to),
+                                    F.lit(null_value),
+                                )
+                                == null_value
+                            ).cast("long")
+                        ).alias(c)
+                        for c in tcols
+                    ]).collect()[0]
+                    for c in tcols:
+                        null_rows[f"{tname}.{c}"] = int(row[c])
         lhs_excluded |= all_null
     # per value: which columns contain it
     by_value = u.groupBy("v").agg(F.collect_set("col_id").alias("cols"))
@@ -94,6 +135,20 @@ def discover_unary_inds(
     totals = counts.filter(F.col("lhs") == F.col("rhs")).select(
         F.col("lhs").alias("l2"), F.col("overlap").alias("lhs_distinct")
     )
+    if null_rows:
+        # AIND error denominator = distinct non-null clusters + the LHS's
+        # singleton null clusters (tiny literal map, pure expression)
+        nr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(null_rows.items()) for x in kv]
+                ),
+                F.col("lhs"),
+            ).cast("double"),
+            F.lit(0.0),
+        )
+    else:
+        nr = F.lit(0.0)
     out = (
         counts.filter(F.col("lhs") != F.col("rhs"))
         .join(F.broadcast(totals), F.col("lhs") == F.col("l2"))
@@ -105,7 +160,7 @@ def discover_unary_inds(
             (
                 1.0
                 - F.col("overlap").cast("double")
-                / F.col("lhs_distinct").cast("double")
+                / (F.col("lhs_distinct").cast("double") + nr)
             ).alias("error"),
         )
         .withColumn("holds", (F.col("error") <= F.lit(max_error)).cast("int"))

@@ -13,8 +13,11 @@ The four larger datasets (horse 10 cols, abalone 8 cols x 4.2k rows,
 breast-cancer 11 cols, echocardiogram 13 cols) take minutes of
 chunked-batch wall time at local scale and run only with
 ``SPARK_GRAFT_HEAVY_GOLDEN=1`` (see SURVEY §5.2 for the round-4
-verification record); the string-valued goldens (TestFD, WDC_*) need
-the typed comparator's rank encoding and are out of scope.
+verification record). The string-valued goldens (TestFD, WDC_* —
+test_fastod.cpp:60-65) run through the typed-comparator rank encoding
+(``discovery/fastod_encode.typed_rank_encode`` — deduced column types,
+mixed-column ValueToString cross-type comparator, BigInt-as-string
+order) and also reproduce the reference hashes bit-for-bit.
 """
 
 from __future__ import annotations
@@ -84,6 +87,27 @@ HEAVY_GOLD = [
 ]
 
 
+STRING_GOLD = [
+    ("TestFD.csv", 15333753345229147120),
+    ("WDC_astrology.csv", 723643032648123806),
+    ("WDC_game.csv", 3164616462792843131),
+    ("WDC_planetz.csv", 11920309231858256338),
+    ("WDC_symbols.csv", 2211268401046792),
+]
+
+
+def load_strings(spark, rel_path):
+    with open(f"{DATA}/{rel_path}", newline="") as f:
+        rows = list(csv.reader(f))
+    hdr, data = rows[0], rows[1:]
+    cols = [f"c{i}" for i in range(len(hdr))]
+    df = spark.createDataFrame(
+        [[str(v) for v in r] for r in data],
+        ", ".join(f"{c} string" for c in cols),
+    )
+    return df, cols
+
+
 def test_fastod_reference_hashes(spark):
     from desbordante_spark.discovery.fastod import discover_ods_fastod
 
@@ -91,6 +115,54 @@ def test_fastod_reference_hashes(spark):
         df, cols = load_numeric(spark, rel)
         res = discover_ods_fastod(df, columns=cols)
         assert fastod_result_hash(res) == want, (rel, res)
+
+
+def test_fastod_reference_hashes_string_typed(spark):
+    """String/mixed-typed datasets through the typed-comparator rank
+    encoding (fastod_encode) — TestFD has mixed columns (int/double/
+    string in one column, ValueToString cross-type order), WDC_symbols
+    multi-byte UTF-8 glyphs (byte-wise order), WDC_planetz int+double
+    columns deduced Double (numeric-equality ranking)."""
+    from desbordante_spark.discovery.fastod import discover_ods_fastod
+    from desbordante_spark.discovery.fastod_encode import typed_rank_encode
+
+    for rel, want in STRING_GOLD:
+        df, cols = load_strings(spark, rel)
+        enc = typed_rank_encode(df, cols)
+        res = discover_ods_fastod(enc, columns=cols)
+        assert fastod_result_hash(res) == want, (rel, res)
+
+
+def test_typed_rank_encode_semantics(spark):
+    """Unit checks of the encoder itself: numeric columns rank by parsed
+    value ('1' == '01' == leading-plus), nulls/empties/NULL-literal share
+    the lowest rank, mixed columns follow the ValueToString cross-type
+    order (int 8 vs '-': '-' (0x2D) < '8' (0x38))."""
+    from desbordante_spark.discovery.fastod_encode import typed_rank_encode
+
+    df = spark.createDataFrame(
+        [
+            (0, "01", "8", "b"),
+            (1, "1", "-", "a"),
+            (2, "2.0", "hjkl", None),
+            (3, "NULL", "444", ""),
+        ],
+        "rid int, num string, mix string, s string",
+    )
+    enc = sorted(
+        typed_rank_encode(df, ["num", "mix", "s"]).collect(),
+        key=lambda r: r["rid"],
+    )
+    num = [r["num"] for r in enc]
+    # '01' and '1' equal (rank 2 after the null), '2.0' above
+    assert num == [2, 2, 3, 1]
+    mix = [r["mix"] for r in enc]
+    # '-' < 8 < 444? No: cross-type is string order of to_string forms,
+    # same-type (8, 444) numeric: '-'(0x2D) < both; 8 < 444 numeric;
+    # 'hjkl' > '8' and > '444' as strings
+    assert mix[1] < mix[0] < mix[3] < mix[2]
+    s = [r["s"] for r in enc]
+    assert s == [3, 2, 1, 1]  # None and '' tie lowest
 
 
 @pytest.mark.skipif(
