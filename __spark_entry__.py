@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship verification suite slice on sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query key (51/51, no
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query key (64/64, no
 rows-only checks): computed columns aliased identically on both sides,
 integer/rational outputs preferred, float folds mirrored via
 ``list_reduce`` (left fold ≡ ``F.aggregate``), LSH planes / IVF centroids
@@ -1080,6 +1080,80 @@ def _q_gfd_dot_directors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXEDFMT_PATH = f"{_STAGE_ROOT}/mixedfmt"
+
+
+def _staged_mixedfmt(spark: SparkSession) -> DataFrame:
+    """Deterministic typed-encoding fixture: a Double column in three text
+    forms ('1'/'1.0'/'01' must share one rank), a BigInt column (raw-text
+    lexicographic order, BigIntType : StringType), a string column with
+    null/empty/'NULL' tokens, and a delimited-date column in all three
+    reference delimiters (-, /, .)."""
+    import os
+
+    if not os.path.exists(f"{_MIXEDFMT_PATH}/_SUCCESS"):
+        rows = [
+            (0, "1", "99", "b", "2020-01-02"),
+            (1, "1.0", "12345678901234567890", "a", "2020/01/03"),
+            (2, "01", "123456789012345678901", "NULL", "2020.02.29"),
+            (3, "2", "99", "", "2021-12-31"),
+            (4, "+3", "100000000000000000000", "c", "2020-01-02"),
+            (5, "NULL", "NULL", "zz", "NULL"),
+            (6, "2.50", "", "a", "2021-01-01"),
+            (7, "0.5", "98", "B", "2020-01-02"),
+        ]
+        spark.createDataFrame(
+            rows, "rid int, num string, big string, s string, d string"
+        ).coalesce(1).write.mode("overwrite").parquet(_MIXEDFMT_PATH)
+    return spark.read.parquet(_MIXEDFMT_PATH)
+
+
+def _q_typed_rank_mixedfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's typed-comparator rank encoding
+    # (storage/data_frame.cpp:125-171 via discovery/fastod_encode):
+    # numeric text forms rank by parsed value, bigints by raw text,
+    # dates chronologically, null/empty/'NULL' share the lowest rank
+    from desbordante_spark.discovery.fastod_encode import typed_rank_encode
+
+    return typed_rank_encode(
+        _staged_mixedfmt(spark), ["num", "big", "s", "d"]
+    ).select("rid", "num", "big", "s", "d")
+
+
+_AINDNULLS_PATH = f"{_STAGE_ROOT}/aindnulls"
+
+
+def _staged_aindnulls(spark: SparkSession) -> DataFrame:
+    import os
+
+    if not os.path.exists(f"{_AINDNULLS_PATH}/_SUCCESS"):
+        rows = [
+            ("1", "1", "1"),
+            ("2", "2", "9"),
+            ("3", "3", "9"),
+            ("NULL", "4", "2"),
+            ("NULL", "5", "NULL"),
+        ]
+        spark.createDataFrame(
+            rows, "a string, b string, c string"
+        ).coalesce(1).write.mode("overwrite").parquet(_AINDNULLS_PATH)
+    return spark.read.parquet(_AINDNULLS_PATH)
+
+
+def _q_ind_discovery_aind_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spider AIND under the reference's singleton-null-cluster semantics
+    # (spider.cpp:80,115-121 with equal_nulls=False, max_error>0): each
+    # null row is one unmatched cluster in the error denominator
+    from desbordante_spark.discovery.spider import discover_unary_inds
+
+    return discover_unary_inds(
+        {"aind": _staged_aindnulls(spark)},
+        max_error=0.5,
+        null_value="NULL",
+        equal_nulls=False,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
@@ -1144,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
         "near_dup_minhash_documents": _q_near_dup_minhash_documents,
         "typo_candidates_cities": _q_typo_candidates_cities,
+        "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
+        "ind_discovery_aind_nulls": _q_ind_discovery_aind_nulls,
     }
 
 
@@ -2618,6 +2694,66 @@ SELECT total_matches, premise_matches, num_violations,
             ELSE 0.0 END AS error,
        CAST(CASE WHEN num_violations = 0 THEN 1 ELSE 0 END AS INT) AS holds
 FROM a
+""",
+        "typed_rank_mixedfmt": f"""
+WITH src AS (SELECT * FROM read_parquet('{_MIXEDFMT_PATH}/*.parquet'))
+SELECT rid,
+  CAST(DENSE_RANK() OVER (ORDER BY
+    (CASE WHEN num IS NULL OR num = 'NULL' OR num = '' THEN NULL
+          ELSE CAST(num AS DOUBLE) END) ASC NULLS FIRST) AS INT) AS num,
+  CAST(DENSE_RANK() OVER (ORDER BY
+    (CASE WHEN big IS NULL OR big = 'NULL' OR big = '' THEN NULL
+          ELSE big END) ASC NULLS FIRST) AS INT) AS big,
+  CAST(DENSE_RANK() OVER (ORDER BY
+    (CASE WHEN s IS NULL OR s = 'NULL' OR s = '' THEN NULL
+          ELSE s END) ASC NULLS FIRST) AS INT) AS s,
+  CAST(DENSE_RANK() OVER (ORDER BY
+    (CASE WHEN d IS NULL OR d = 'NULL' OR d = '' THEN NULL
+          ELSE CAST(translate(d, '/.', '--') AS DATE) END)
+    ASC NULLS FIRST) AS INT) AS d
+FROM src
+""",
+        "ind_discovery_aind_nulls": f"""
+WITH src AS (SELECT * FROM read_parquet('{_AINDNULLS_PATH}/*.parquet')),
+vals AS (
+  SELECT DISTINCT 'aind.a' AS col_id, a AS v FROM src
+  WHERE a IS NOT NULL AND a <> 'NULL'
+  UNION ALL
+  SELECT DISTINCT 'aind.b', b FROM src WHERE b IS NOT NULL AND b <> 'NULL'
+  UNION ALL
+  SELECT DISTINCT 'aind.c', c FROM src WHERE c IS NOT NULL AND c <> 'NULL'
+),
+nn AS (
+  SELECT 'aind.a' AS col_id,
+         CAST(SUM(CASE WHEN a IS NULL OR a = 'NULL' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS nulls FROM src
+  UNION ALL
+  SELECT 'aind.b',
+         CAST(SUM(CASE WHEN b IS NULL OR b = 'NULL' THEN 1 ELSE 0 END)
+              AS DOUBLE) FROM src
+  UNION ALL
+  SELECT 'aind.c',
+         CAST(SUM(CASE WHEN c IS NULL OR c = 'NULL' THEN 1 ELSE 0 END)
+              AS DOUBLE) FROM src
+),
+totals AS (SELECT col_id, CAST(COUNT(*) AS BIGINT) AS lhs_distinct
+           FROM vals GROUP BY col_id),
+ov AS (
+  SELECT l.col_id AS lhs, r.col_id AS rhs, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM vals l JOIN vals r ON l.v = r.v
+  WHERE l.col_id <> r.col_id
+  GROUP BY 1, 2
+),
+res AS (
+  SELECT o.lhs, o.rhs, t.lhs_distinct, o.overlap,
+         1.0 - CAST(o.overlap AS DOUBLE)
+               / (CAST(t.lhs_distinct AS DOUBLE) + n.nulls) AS error
+  FROM ov o
+  JOIN totals t ON t.col_id = o.lhs
+  JOIN nn n ON n.col_id = o.lhs)
+SELECT lhs, rhs, lhs_distinct, overlap, error,
+       CAST(CASE WHEN error <= 0.5e0 THEN 1 ELSE 0 END AS INT) AS holds
+FROM res WHERE error <= 0.5e0
 """,
     }
 
