@@ -114,7 +114,10 @@ def streaming_first_seen_dedup(
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-        (seen,) = state.get() if state.exists else (0,)
+        # GroupState.get is a PROPERTY in PySpark (raises when no state);
+        # calling it crashes the first time a key is re-seen across
+        # micro-batches (caught by the streaming≡batch equivalence gate)
+        (seen,) = state.get if state.exists else (0,)
         first = 1 if seen == 0 else 0
         state.update((seen + n,))
         if state.getCurrentWatermarkMs() > 0:
