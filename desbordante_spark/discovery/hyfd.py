@@ -277,7 +277,7 @@ def discover_fds_hybrid(
                 need.add(s)
             if ext not in cd:
                 need.add(ext)
-        cd.update(distinct_counts(df, sorted(need), exact))
+        cd.update(distinct_counts(df, sorted(need), exact, n_rows=n))
         if not exact:
             # exact-confirm pass for every equality the sketch can't rule
             # out (tane two-phase contract)
@@ -294,7 +294,7 @@ def discover_fds_hybrid(
                     confirm.add(ext)
                 if cd[s] >= n * (1 - tol):
                     confirm.add(s)
-            cd.update(distinct_counts(df, sorted(confirm), exact=True))
+            cd.update(distinct_counts(df, sorted(confirm), exact=True, n_rows=n))
         for a, c in todo:
             n_validated += 1
             s = tuple(sorted(c))

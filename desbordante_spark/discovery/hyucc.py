@@ -98,7 +98,7 @@ def discover_uccs_hybrid(
         need = sorted(
             {tuple(sorted(c)) for c in todo} - cd.keys()
         )
-        cd.update(distinct_counts(df, need, exact))
+        cd.update(distinct_counts(df, need, exact, n_rows=n))
         if not exact:
             # exact-confirm every count the sketch can't distinguish
             # from n (the key decision needs exactness; a non-key's
@@ -107,7 +107,7 @@ def discover_uccs_hybrid(
                 s for s in (tuple(sorted(c)) for c in todo)
                 if cd[s] >= n * (1 - tol)
             )
-            cd.update(distinct_counts(df, maybe, exact=True))
+            cd.update(distinct_counts(df, maybe, exact=True, n_rows=n))
         for c in todo:
             n_validated += 1
             cands.discard(c)

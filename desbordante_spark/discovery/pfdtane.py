@@ -42,13 +42,29 @@ __all__ = ["discover_afds"]
 _SEP = "\x01"
 _NULL = "\x00∅"
 
+#: above this candidate count a level is scored in bounded batches —
+#: one job's explode factor stays ≤ _SCORE_CHUNK structs per row (wide
+#: level-3+ lattices on tall frames would otherwise plan one job with a
+#: billions-of-rows pre-aggregation; same policy as fastod's pair-mass
+#: budget). Most levels are far below the threshold and keep one job.
+_SCORE_CHUNK = 400
+
 
 def _score_level(
     df: DataFrame,
     cands: list[tuple[tuple[str, ...], str]],
     error_measure: str,
 ) -> dict[int, float]:
-    """One job: per candidate (lhs_set, rhs) → error."""
+    """Per candidate (lhs_set, rhs) → error; one job per ≤_SCORE_CHUNK
+    candidates."""
+    if len(cands) > _SCORE_CHUNK:
+        out: dict[int, float] = {}
+        for lo in range(0, len(cands), _SCORE_CHUNK):
+            part = _score_level(df, cands[lo:lo + _SCORE_CHUNK],
+                                error_measure)
+            for i, v in part.items():
+                out[lo + i] = v
+        return out
     structs = []
     for i, (lhs, rhs) in enumerate(cands):
         key = (

@@ -5,14 +5,16 @@ with PLI refinement (/root/reference/src/core/algorithms/fd/tane/, ~690 LoC;
 candidate pruning via found FDs and keys). The decision primitive is
 ``X → A  iff  |π_X| == |π_{X∪A}|`` (partition cardinality equality).
 
-Spark-first: partition cardinalities are ``count_distinct(struct(X))``. All
-candidate sets of a level are evaluated in ONE aggregation job (a single scan;
-Catalyst expands multiple DISTINCT aggregates via Expand — a |candidates|×
-row blowup that is the distributed price of exact levelwise discovery; the
-driver loop only generates candidates and prunes, never touches data).
-For wide tables at extreme scale, swap ``exact=False`` to prune with
-HLL++ sketches (``approx_count_distinct``) and confirm only the surviving
-equalities exactly — the HyFD-style two-phase trade.
+Spark-first: partition cardinalities are exact distinct counts over the
+candidate key sets. A level's candidates are evaluated in pair-mass-
+budgeted batches of the Expand-free unpivoted single-distinct job
+(``common.distinct_count_level`` — batching ``count_distinct`` aggregates
+into one ``agg`` makes Catalyst plan a per-aggregate Expand, measured 15×
+slower at 11 candidates); the driver loop only generates candidates and
+prunes, never touches data. For wide tables at extreme scale, swap
+``exact=False`` to prune with HLL++ sketches (``approx_count_distinct`` —
+sketch aggregates don't Expand, so they stay one ``agg``) and confirm only
+the surviving equalities exactly — the HyFD-style two-phase trade.
 
 The lattice bookkeeping (candidate generation, minimality pruning, key
 pruning) follows TANE's rules:
@@ -61,25 +63,47 @@ def approx_tolerance(rsd: float = _DEFAULT_RSD,
     return 1.0 - (1.0 - s) / (1.0 + s)
 
 
+#: exploded-rows-per-job budget for the exact path (chunk =
+#: budget // n_rows, the discovery/common.py batching policy)
+_EXACT_PAIR_MASS_BUDGET = 40_000_000
+
+
 def distinct_counts(
     df: DataFrame,
     column_sets: list[tuple[str, ...]],
     exact: bool = True,
     rsd: float = _DEFAULT_RSD,
+    n_rows: int | None = None,
 ) -> dict[tuple[str, ...], int]:
-    """Exact (or HLL-approximate) distinct counts for many column sets in
-    one scan/job."""
+    """Exact (or HLL-approximate) distinct counts for many column sets.
+
+    The approx path stays ONE ``agg`` of ``approx_count_distinct`` sketches
+    (no Expand — only exact DISTINCT aggregates trigger Catalyst's per-
+    aggregate row replication). The exact path routes through the
+    Expand-free unpivoted single-distinct job (``common.distinct_count_
+    level`` — multiple ``count_distinct`` in one agg measured 15× slower
+    at 11 candidates on this host), chunked so one job's exploded volume
+    stays near the pair-mass budget when ``n_rows`` is known."""
     if not column_sets:
         return {}
+    if exact:
+        from desbordante_spark.discovery.common import distinct_count_level
+
+        if n_rows:
+            chunk = max(1, _EXACT_PAIR_MASS_BUDGET // n_rows)
+        else:
+            chunk = len(column_sets)
+        out: dict[tuple[str, ...], int] = {}
+        for lo in range(0, len(column_sets), chunk):
+            part = column_sets[lo:lo + chunk]
+            got = distinct_count_level(df, part)
+            for i, cols in enumerate(part):
+                out[cols] = got[i]
+        return out
     aggs = []
     for i, cols in enumerate(column_sets):
         key = F.struct(*[F.col(c) for c in cols])
-        agg = (
-            F.count_distinct(key)
-            if exact
-            else F.approx_count_distinct(key, rsd)
-        )
-        aggs.append(agg.alias(f"c{i}"))
+        aggs.append(F.approx_count_distinct(key, rsd).alias(f"c{i}"))
     row = df.agg(*aggs).collect()[0]
     return {cols: int(row[f"c{i}"]) for i, cols in enumerate(column_sets)}
 
@@ -90,6 +114,7 @@ def discover_uccs(
     max_size: int = 3,
     exact: bool = True,
     rsd: float = _DEFAULT_RSD,
+    stats: dict | None = None,
 ) -> list[tuple[str, ...]]:
     """All minimal unique column combinations up to ``max_size`` columns.
 
@@ -103,16 +128,23 @@ def discover_uccs(
     cols = columns or df.columns
     tol = approx_tolerance(rsd)
     n = df.count()
+    n_exact = 0
+    n_sketch = 0
     uccs: list[tuple[str, ...]] = []
     candidates = [(c,) for c in cols]
     for _level in range(1, max_size + 1):
         if not candidates:
             break
-        cd = distinct_counts(df, candidates, exact, rsd)
+        cd = distinct_counts(df, candidates, exact, rsd, n_rows=n)
+        if exact:
+            n_exact += len(candidates)
+        else:
+            n_sketch += len(candidates)
         if not exact:
             maybe = [s for s in candidates
                      if cd[s] >= n * (1 - tol)]
-            cd.update(distinct_counts(df, maybe, exact=True))
+            cd.update(distinct_counts(df, maybe, exact=True, n_rows=n))
+            n_exact += len(maybe)
             # non-confirmed candidates keep their (under-n) sketch counts —
             # only the key decision below needs exactness
         keys = [s for s in candidates if cd[s] == n]
@@ -129,6 +161,9 @@ def discover_uccs(
                     continue
                 nxt.add(cand)
         candidates = sorted(nxt)
+    if stats is not None:
+        stats["exact_scored"] = n_exact
+        stats["sketch_scored"] = n_sketch
     return uccs
 
 
@@ -138,6 +173,7 @@ def discover_fds(
     max_lhs: int = 2,
     exact: bool = True,
     rsd: float = _DEFAULT_RSD,
+    stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs``.
 
@@ -151,11 +187,17 @@ def discover_fds(
     cols = sorted(columns or df.columns)
     tol = approx_tolerance(rsd)
     n = df.count()
+    n_exact = 0
+    n_sketch = 0
     fds: list[tuple[tuple[str, ...], str]] = []
     found: dict[str, list[tuple[str, ...]]] = {c: [] for c in cols}
 
     # level 0: constant columns
-    cd = distinct_counts(df, [(c,) for c in cols], exact, rsd)
+    cd = distinct_counts(df, [(c,) for c in cols], exact, rsd, n_rows=n)
+    if exact:
+        n_exact += len(cols)
+    else:
+        n_sketch += len(cols)
     for c in cols:
         if cd[(c,)] <= 1:
             fds.append(((), c))
@@ -186,7 +228,12 @@ def discover_fds(
                 pairs.append((s, a, ext))
                 if ext not in cd_cache:
                     need.add(ext)
-        cd_cache.update(distinct_counts(df, sorted(need), exact, rsd))
+        cd_cache.update(distinct_counts(df, sorted(need), exact, rsd,
+                                        n_rows=n))
+        if exact:
+            n_exact += len(need)
+        else:
+            n_sketch += len(need)
         if not exact:
             # two-phase (HyFD-style): the sketch only PRUNES — every
             # candidate equality it can't rule out is re-counted exactly in
@@ -201,7 +248,10 @@ def discover_fds(
                 if lo >= hi * (1 - tol):
                     confirm.add(s)
                     confirm.add(ext)
-            cd_cache.update(distinct_counts(df, sorted(confirm), exact=True))
+            cd_cache.update(
+                distinct_counts(df, sorted(confirm), exact=True, n_rows=n)
+            )
+            n_exact += len(confirm)
         for s in lhs_sets:
             if cd_cache.get(s) == n:
                 keys.append(s)
@@ -219,4 +269,7 @@ def discover_fds(
                     continue
                 nxt.add(tuple(sorted({*s, c})))
         level_sets = sorted(nxt)
+    if stats is not None:
+        stats["exact_scored"] = n_exact
+        stats["sketch_scored"] = n_sketch
     return sorted(fds)
