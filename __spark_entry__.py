@@ -606,6 +606,56 @@ def _q_fd_discovery_dfd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fd_discovery_fastfds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FastFDs miner (discovery/fastfds.py): difference-set minimal-cover
+    # DFS (coverage-ordered branching, minimality-checked leaves) over the
+    # distributed agree-set factory — exact, so it shares the minimal-FD
+    # oracle
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+
+    fds = discover_fds_fastfds(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
+def _q_fd_discovery_depminer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Depminer miner (discovery/depminer.py): maximal agree sets → CMAX
+    # complements → levelwise hitting-set candidates over the distributed
+    # agree-set factory — exact, so it shares the minimal-FD oracle
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+
+    fds = discover_fds_depminer(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
+def _q_fd_discovery_fdmine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FD_Mine miner (discovery/fd_mine.py): levelwise closures +
+    # equivalence pruning + eq-substitution reconstruction. Its raw output
+    # is non-minimized by design; the reference's own conformance test
+    # (src/tests/test_fd_mine.cpp:139-186) minimizes + constant-substitutes
+    # before comparing with Pyro — the `minimized` entry point applies
+    # exactly that post-processing, after which the result must equal the
+    # levelwise miner's, so it shares the minimal-FD oracle (filtered to
+    # max_lhs=2 for comparability)
+    from desbordante_spark.discovery.fd_mine import (
+        discover_fds_fdmine_minimized,
+    )
+
+    fds = discover_fds_fdmine_minimized(
+        _read(spark, sf_dir, "orders").select(*_ORDERS_COLS), max_lhs=2
+    )
+    return spark.createDataFrame(
+        [(",".join(lhs), rhs) for lhs, rhs in fds], "lhs string, rhs string"
+    )
+
+
 _AFD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 _OD_COLS = ["l_linenumber", "l_quantity", "l_extendedprice"]
 
@@ -1216,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
         "fd_discovery_fun_orders": _q_fd_discovery_fun_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
+        "fd_discovery_fastfds_orders": _q_fd_discovery_fastfds_orders,
+        "fd_discovery_depminer_orders": _q_fd_discovery_depminer_orders,
+        "fd_discovery_fdmine_orders": _q_fd_discovery_fdmine_orders,
         "near_dup_minhash_documents": _q_near_dup_minhash_documents,
         "typo_candidates_cities": _q_typo_candidates_cities,
         "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
@@ -2642,6 +2695,9 @@ FROM m
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),
         "fd_discovery_fun_orders": _fd_minimal_oracle(),
         "fd_discovery_dfd_orders": _fd_minimal_oracle(),
+        "fd_discovery_fastfds_orders": _fd_minimal_oracle(),
+        "fd_discovery_depminer_orders": _fd_minimal_oracle(),
+        "fd_discovery_fdmine_orders": _fd_minimal_oracle(),
         "near_dup_minhash_documents": _near_dup_minhash_oracle(),
         "typo_candidates_cities": f"""
 WITH counts AS (

@@ -173,6 +173,26 @@ class _FdMiner(_Algo):
             from desbordante_spark.discovery.fun import discover_fds_fun
 
             fds = discover_fds_fun(df, max_lhs=k)
+        elif self._strategy == "fastfds":
+            from desbordante_spark.discovery.fastfds import (
+                discover_fds_fastfds,
+            )
+
+            fds = discover_fds_fastfds(df, max_lhs=k)
+        elif self._strategy == "depminer":
+            from desbordante_spark.discovery.depminer import (
+                discover_fds_depminer,
+            )
+
+            fds = discover_fds_depminer(df, max_lhs=k)
+        elif self._strategy == "fd_mine":
+            # the reference FdMine has no max_lhs and returns its raw
+            # (non-minimized) closure-derived FD list — same here
+            from desbordante_spark.discovery.fd_mine import (
+                discover_fds_fdmine,
+            )
+
+            fds = discover_fds_fdmine(df)
         else:  # aid
             from desbordante_spark.discovery.aid import discover_fds_aid
 
@@ -199,16 +219,16 @@ class _fd:
             _strategy = "fdep"
 
         class FastFDs(_FdMiner):
-            _strategy = "fdep"
+            _strategy = "fastfds"
 
         class Depminer(_FdMiner):
-            _strategy = "fdep"
+            _strategy = "depminer"
 
         class FUN(_FdMiner):
             _strategy = "fun"
 
         class FdMine(_FdMiner):
-            _strategy = "fun"
+            _strategy = "fd_mine"
 
         class Aid(_FdMiner):
             _strategy = "aid"

@@ -1,0 +1,192 @@
+"""Faithful FastFDs / Depminer / FD_Mine conformance.
+
+Round 4 converted Pyro, HyUCC and FASTOD from documented standins into
+faithful searches; this module does the same for the last three FD miners:
+
+- FastFDs (fastfds.py): difference-set minimal-cover DFS — reference
+  fastfds.cpp:107-143, hash-pinned with every other FD miner
+  (src/tests/test_fd_algorithm.cpp:160).
+- Depminer (depminer.py): maximal agree sets → CMAX → levelwise
+  hitting-set candidates — reference depminer.cpp:55-152, hash-pinned too.
+- FD_Mine (fd_mine.py): levelwise closures + equivalence pruning +
+  reconstruction — reference fd_mine.cpp. NOT hash-pinned: its raw output
+  is non-minimized by design, and the reference's own test
+  (src/tests/test_fd_mine.cpp:139-186) compares the minimized,
+  constant-substituted list with Pyro. Replayed here the same way.
+"""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from tests.test_reference_hash_golden import (
+    FD_GOLD,
+    fds_to_json,
+    fletcher16,
+    load,
+)
+
+
+def _df(spark, rows, ncols):
+    cols = [f"c{i}" for i in range(ncols)]
+    return spark.createDataFrame(
+        [tuple(str(v) for v in r) for r in rows],
+        ", ".join(f"{c} string" for c in cols),
+    )
+
+
+# ---- output identity with the levelwise miner ----------------------------
+
+FIXTURE = [
+    # c0 key-ish, c1 = c0 mod 3, c2 constant-ish, c3 free
+    (i, i % 3, "k", i * 7 % 5) for i in range(30)
+] + [(100, 0, "k", 9), (100, 0, "k", 9)]
+
+
+@pytest.mark.parametrize("miner_name", ["fastfds", "depminer"])
+def test_new_miners_match_tane(spark, miner_name):
+    from desbordante_spark.discovery.tane import discover_fds
+
+    if miner_name == "fastfds":
+        from desbordante_spark.discovery.fastfds import (
+            discover_fds_fastfds as miner,
+        )
+    else:
+        from desbordante_spark.discovery.depminer import (
+            discover_fds_depminer as miner,
+        )
+
+    df = _df(spark, FIXTURE, 4)
+    stats: dict = {}
+    got = miner(df, max_lhs=3, stats=stats)
+    want = sorted(discover_fds(df, max_lhs=3))
+    assert got == want
+    assert stats  # search evidence populated
+
+
+def test_new_miners_match_tane_on_testfd(spark, testfd):
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+    from desbordante_spark.discovery.tane import discover_fds
+
+    df = testfd.drop("row_id")
+    want = sorted(discover_fds(df, max_lhs=5))
+    assert discover_fds_fastfds(df, max_lhs=5) == want
+    assert discover_fds_depminer(df, max_lhs=5) == want
+
+
+def test_fastfds_search_shape(spark):
+    """The DFS rejects non-minimal leaves (the paper's 'wasted effort')
+    and visits a bounded node count — evidence the cover search ran, not
+    a re-labelled inversion."""
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+
+    df = _df(spark, FIXTURE, 4)
+    stats: dict = {}
+    discover_fds_fastfds(df, max_lhs=3, stats=stats)
+    assert stats["nodes"] > 0
+    assert stats["diff_sets"] >= 1
+
+
+def test_depminer_search_shape(spark):
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+
+    df = _df(spark, FIXTURE, 4)
+    stats: dict = {}
+    discover_fds_depminer(df, max_lhs=3, stats=stats)
+    assert stats["cmax_combinations"] >= 1
+    assert stats["candidates_checked"] >= 1
+
+
+# ---- reference golden hashes (FastFDs/Depminer are hash-pinned) ----------
+
+@pytest.mark.parametrize("miner_name", ["fastfds", "depminer"])
+def test_reference_fletcher_hashes(spark, miner_name):
+    """test_fd_algorithm.cpp pins FastFDs and Depminer to the same
+    Fletcher16 result hashes as every other FD miner — replay all light
+    datasets through the faithful searches."""
+    if miner_name == "fastfds":
+        from desbordante_spark.discovery.fastfds import (
+            discover_fds_fastfds as miner,
+        )
+    else:
+        from desbordante_spark.discovery.depminer import (
+            discover_fds_depminer as miner,
+        )
+
+    for name, want in FD_GOLD.items():
+        df, cols = load(spark, name)
+        pos = {c: i for i, c in enumerate(cols)}
+        fds = miner(df, columns=cols, max_lhs=len(cols) - 1)
+        got = fletcher16(fds_to_json(fds, pos))
+        assert got == want, (name, len(fds))
+
+
+# ---- FD_Mine (reference test_fd_mine.cpp semantics) ----------------------
+
+def test_fdmine_long_dataset(spark):
+    """FD_Mine_WorksOnLongDataset (test_fd_mine.cpp:91-98): the raw
+    FdList on TestLong.csv is exactly {2} -> 1."""
+    from desbordante_spark.discovery.fd_mine import discover_fds_fdmine
+
+    df, cols = load(spark, "TestLong")
+    raw = discover_fds_fdmine(df, columns=cols)
+    assert raw == [(("c2",), "c1")]
+
+
+def test_fdmine_single_non_key_empty(spark):
+    """FD_Mine_ReturnsEmptyOnSingleNonKey (test_fd_mine.cpp:85-89)."""
+    from desbordante_spark.discovery.fd_mine import discover_fds_fdmine
+
+    df = _df(spark, [(1,), (2,), (2,)], 1)
+    assert discover_fds_fdmine(df) == []
+
+
+def test_fdmine_minimized_equals_pyro_contract(spark):
+    """FD_Mine_ReturnsSameAsPyro (test_fd_mine.cpp:139-186): the
+    minimized, constant-substituted FD_Mine list equals the minimal
+    miner's output — replayed on the light datasets and checked against
+    the pinned Fletcher16 hashes."""
+    from desbordante_spark.discovery.fd_mine import (
+        discover_fds_fdmine_minimized,
+    )
+
+    for name, want in FD_GOLD.items():
+        df, cols = load(spark, name)
+        pos = {c: i for i, c in enumerate(cols)}
+        stats: dict = {}
+        fds = discover_fds_fdmine_minimized(df, columns=cols, stats=stats)
+        got = fletcher16(fds_to_json(fds, pos))
+        assert got == want, (name, len(fds))
+        assert stats["jobs"] >= 2  # batched closure counting ran
+
+
+def test_fdmine_raw_output_not_minimal_by_design(spark, testfd):
+    """The raw FdList keeps closure-implied (non-minimal) rules — that is
+    the reference behavior the minimizing test exists FOR; assert the gap
+    is real on TestFD so the minimized path is load-bearing."""
+    from desbordante_spark.discovery.fd_mine import (
+        discover_fds_fdmine,
+        discover_fds_fdmine_minimized,
+    )
+    from desbordante_spark.discovery.tane import discover_fds
+
+    df = testfd.drop("row_id")
+    raw = discover_fds_fdmine(df)
+    minimized = discover_fds_fdmine_minimized(df)
+    want = sorted(discover_fds(df, max_lhs=len(df.columns) - 1))
+    assert minimized == want
+    assert len(raw) >= len(minimized)
+
+
+def test_fdmine_compat_surface(spark, testfd):
+    """compat FdMine exposes the raw reference FdList."""
+    from desbordante_spark import compat
+
+    algo = compat.fd.algorithms.FdMine()
+    algo.load_data(table=testfd.drop("row_id"))
+    algo.execute()
+    fds = algo.get_fds()
+    assert fds  # non-empty on TestFD
