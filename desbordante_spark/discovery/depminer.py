@@ -43,7 +43,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame
 
-from desbordante_spark.discovery.fdep import compute_agree_sets
+from desbordante_spark.discovery.fdep import agree_set_cover
 
 __all__ = ["discover_fds_depminer"]
 
@@ -64,15 +64,18 @@ def discover_fds_depminer(
     columns: list[str] | None = None,
     max_lhs: int = 3,
     max_columns: int = 16,
+    wide: str = "error",
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` via
-    Depminer's CMAX hitting-set levelwise search. Pass ``stats={}`` to
-    receive ``{"agree_sets", "cmax_combinations", "candidates_checked"}``."""
+    Depminer's CMAX hitting-set levelwise search (``wide='pairwise'``
+    switches tables wider than ``max_columns`` to the budgeted
+    pair-stream agree-set factory). Pass ``stats={}`` to receive
+    ``{"agree_sets", "cmax_combinations", "candidates_checked"}``."""
     cols = sorted(columns or df.columns)
     m = len(cols)
     idx = {c: i for i, c in enumerate(cols)}
-    cover, n = compute_agree_sets(df, cols, max_columns=max_columns)
+    cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
     if n == 0:
         return []
     total_pairs = n * (n - 1) // 2

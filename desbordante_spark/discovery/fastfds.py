@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from desbordante_spark.discovery.fdep import compute_agree_sets
+from desbordante_spark.discovery.fdep import agree_set_cover
 
 __all__ = ["discover_fds_fastfds"]
 
@@ -78,16 +78,19 @@ def discover_fds_fastfds(
     columns: list[str] | None = None,
     max_lhs: int = 3,
     max_columns: int = 16,
+    wide: str = "error",
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` via the
-    FastFDs difference-set cover DFS. Pass ``stats={}`` to receive
-    ``{"diff_sets", "nodes", "wasted_effort"}`` — DFS-node and
-    rejected-non-minimal-leaf evidence of the search shape."""
+    FastFDs difference-set cover DFS (``wide='pairwise'`` switches tables
+    wider than ``max_columns`` to the budgeted pair-stream agree-set
+    factory). Pass ``stats={}`` to receive ``{"diff_sets", "nodes",
+    "wasted_effort"}`` — DFS-node and rejected-non-minimal-leaf evidence
+    of the search shape."""
     cols = sorted(columns or df.columns)
     m = len(cols)
     idx = {c: i for i, c in enumerate(cols)}
-    cover, n = compute_agree_sets(df, cols, max_columns=max_columns)
+    cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
     if n == 0:
         return []
     total_pairs = n * (n - 1) // 2

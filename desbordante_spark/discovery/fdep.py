@@ -28,8 +28,10 @@ Apriori pruning (``P(S) = 0 ⇒ P(S ∪ {c}) = 0`` — a unique column kills
 every superset) keeps the evaluated lattice far below 2^m on real tables.
 All sums are exact BIGINTs; Python big-int arithmetic does the inversion,
 so no overflow at any scale. The 2^m lattice bounds the usable width
-(``max_columns``, default 16); for wider tables the sampling hybrid
-(discovery/hyfd.py) is the scale path.
+(``max_columns``, default 16); for wider tables either the budgeted
+pair-stream factory (``compute_agree_sets_pairwise`` — exact, the
+reference's within-cluster pair enumeration as DataFrame joins) or the
+sampling hybrid (discovery/hyfd.py) is the scale path.
 
 Inversion to FDs (driver-side, data never touched again): for each RHS
 ``a`` the agree sets NOT containing ``a`` refute every candidate LHS they
@@ -48,10 +50,15 @@ from __future__ import annotations
 from itertools import combinations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from desbordante_spark.discovery.common import pair_mass_level
+from desbordante_spark.discovery.common import NULL, pair_mass_level
 
-__all__ = ["compute_agree_sets", "discover_fds_fdep"]
+__all__ = [
+    "compute_agree_sets",
+    "compute_agree_sets_pairwise",
+    "discover_fds_fdep",
+]
 
 
 def _pair_counts_level(
@@ -125,6 +132,122 @@ def compute_agree_sets(
     return sorted(out, key=lambda x: (len(x[0]), sorted(x[0]))), n
 
 
+def compute_agree_sets_pairwise(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    pair_budget: int = 50_000_000,
+    stats: dict | None = None,
+) -> tuple[list[tuple[frozenset[str], int]], int]:
+    """Exact complete agree-set cover for WIDE tables — a distributed
+    pair stream instead of the counting factory's 2^m lattice.
+
+    The reference's AgreeSetFactory enumerates row pairs inside PLI
+    clusters (model/table/agree_set_factory.cpp — its MC methods build the
+    same within-cluster pair set); this is the Spark-first form of that
+    path, for tables too wide for the subset-counting factory:
+
+    1. one scan explodes each row into (column, value-hash) cluster keys;
+    2. intra-cluster pair mass ``Σ_c Σ_clusters k·(k−1)/2`` is checked
+       against ``pair_budget`` with ONE cheap aggregation BEFORE any join
+       (every pair agreeing on ≥1 column appears in some single-column
+       cluster, so this bounds the join output; past the budget raises
+       ValueError — duplicate-heavy wide tables should use
+       ``hyfd.discover_fds_hybrid``);
+    3. a self-join per cluster key yields candidate pairs, deduplicated;
+    4. each distinct pair joins back to its two rows and reduces to an
+       agree-set BITMASK in one null-safe string-cast comparison per
+       column (same value semantics as the counting factory's keys:
+       nulls agree, values compare as strings);
+    5. ``groupBy(mask)`` returns every realised agree set with its EXACT
+       pair count — the same contract as ``compute_agree_sets`` (pairs
+       agreeing on no column are omitted; callers detect them by
+       ``Σ counts < n·(n−1)/2``).
+
+    All five steps are DataFrame ops (shuffle joins co-located on cluster
+    keys); nothing driver-side until the distinct-mask collect, whose size
+    is bounded by the number of realised agree sets.
+    """
+    cols = sorted(columns or df.columns)
+    m = len(cols)
+    if m > 62:
+        raise ValueError(f"{m} columns exceed the 62-bit agree-set mask")
+    idx = {c: i for i, c in enumerate(cols)}
+    # pin row ids so the two sides of the self-join see identical values
+    base = df.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    ).localCheckpoint()
+    n = base.count()
+    structs = [
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.xxhash64(F.coalesce(F.col(c), F.lit(NULL))).alias("k"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    e = base.select(
+        "_rid", F.explode(F.array(*structs)).alias("c")
+    ).select("_rid", "c.cid", "c.k")
+    mass_row = (
+        e.groupBy("cid", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * (F.col("cnt") - 1)).cast("long"))
+        .collect()[0][0]
+    )
+    mass = int(mass_row or 0) // 2
+    if mass > pair_budget:
+        raise ValueError(
+            f"intra-cluster pair mass {mass} exceeds pair_budget"
+            f" {pair_budget}; use discover_fds_hybrid for this table"
+        )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a._rid") < F.col("b._rid")),
+        )
+        .select(
+            F.col("a._rid").alias("r1"), F.col("b._rid").alias("r2")
+        )
+        .distinct()
+    )
+    lhs = base.select(
+        F.col("_rid").alias("r1"),
+        *[F.col(c).alias(f"l_{i}") for i, c in enumerate(cols)],
+    )
+    rhs = base.select(
+        F.col("_rid").alias("r2"),
+        *[F.col(c).alias(f"r_{i}") for i, c in enumerate(cols)],
+    )
+    mask = None
+    for i in range(m):
+        term = F.when(
+            F.col(f"l_{i}").eqNullSafe(F.col(f"r_{i}")),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        mask = term if mask is None else mask + term
+    got = (
+        pairs.join(lhs, "r1")
+        .join(rhs, "r2")
+        .select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    out = []
+    for r in got:
+        mk, cnt = int(r["mask"]), int(r["cnt"])
+        out.append(
+            (frozenset(c for c in cols if mk >> idx[c] & 1), cnt)
+        )
+    if stats is not None:
+        stats["pair_mass"] = mass
+        stats["distinct_agree_sets"] = len(out)
+    return sorted(out, key=lambda x: (len(x[0]), sorted(x[0]))), n
+
+
 def _invert(
     rhs: str,
     cols: list[str],
@@ -154,21 +277,39 @@ def _invert(
     return sorted(cands, key=lambda s: (len(s), sorted(s)))
 
 
+def agree_set_cover(
+    df: DataFrame,
+    cols: list[str],
+    max_columns: int = 16,
+    wide: str = "error",
+    pair_budget: int = 50_000_000,
+) -> tuple[list[tuple[frozenset[str], int]], int]:
+    """Route to the right exact agree-set factory: the subset-counting
+    lattice up to ``max_columns`` columns, then (with ``wide='pairwise'``)
+    the budgeted distributed pair stream; ``wide='error'`` (default)
+    keeps the hard ValueError for wider tables."""
+    if len(cols) > max_columns and wide == "pairwise":
+        return compute_agree_sets_pairwise(df, cols, pair_budget=pair_budget)
+    return compute_agree_sets(df, cols, max_columns=max_columns)
+
+
 def discover_fds_fdep(
     df: DataFrame,
     columns: list[str] | None = None,
     max_lhs: int = 2,
     max_columns: int = 16,
+    wide: str = "error",
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` from the
     complete agree-set cover — identical output to ``tane.discover_fds``
     and ``hyfd.discover_fds_hybrid``, with ZERO lattice validation jobs:
     the whole answer follows from the counting factory plus driver
-    inversion. Pass ``stats={}`` to receive ``{"agree_sets",
-    "pair_mass"}``."""
+    inversion. ``wide='pairwise'`` switches tables wider than
+    ``max_columns`` to the budgeted pair-stream factory. Pass
+    ``stats={}`` to receive ``{"agree_sets", "pair_mass"}``."""
     cols = sorted(columns or df.columns)
-    cover, n = compute_agree_sets(df, cols, max_columns=max_columns)
+    cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
     agree_sets = [a for a, _cnt in cover]
     # constants: every one of the n·(n−1)/2 pairs agrees on c
     all_pairs = n * (n - 1) // 2

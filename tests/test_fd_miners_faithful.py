@@ -181,6 +181,57 @@ def test_fdmine_raw_output_not_minimal_by_design(spark, testfd):
     assert len(raw) >= len(minimized)
 
 
+# ---- wide tables: pair-stream agree-set factory ---------------------------
+
+def test_pairwise_cover_equals_counting_factory(spark):
+    """On a narrow table both exact factories must return the identical
+    cover — same agree sets, same exact pair counts."""
+    from desbordante_spark.discovery.fdep import (
+        compute_agree_sets,
+        compute_agree_sets_pairwise,
+    )
+
+    df = _df(spark, FIXTURE, 4)
+    want, n1 = compute_agree_sets(df)
+    stats: dict = {}
+    got, n2 = compute_agree_sets_pairwise(df, stats=stats)
+    assert n1 == n2
+    assert sorted(want) == sorted(got)
+    assert stats["pair_mass"] >= sum(c for _a, c in got)
+
+
+def test_pairwise_budget_guard(spark):
+    from desbordante_spark.discovery.fdep import (
+        compute_agree_sets_pairwise,
+    )
+
+    df = _df(spark, FIXTURE, 4)
+    with pytest.raises(ValueError, match="pair_budget"):
+        compute_agree_sets_pairwise(df, pair_budget=3)
+
+
+def test_max_lhs_parity_wide_dataset(spark):
+    """MaxLHSOptionWork (test_fd_algorithm.cpp:142-152): FastFDs and
+    Depminer with max_lhs=2 must equal the exact levelwise miner on
+    CIPublicHighway700 — 18 columns, past the counting factory's lattice
+    budget, exercised through the pair-stream factory."""
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+    from desbordante_spark.discovery.tane import discover_fds
+
+    df, cols = load(spark, "CIPublicHighway700")
+    want = sorted(discover_fds(df, columns=cols, max_lhs=2))
+    got_ff = discover_fds_fastfds(
+        df, columns=cols, max_lhs=2, wide="pairwise"
+    )
+    got_dm = discover_fds_depminer(
+        df, columns=cols, max_lhs=2, wide="pairwise"
+    )
+    assert got_ff == want
+    assert got_dm == want
+    assert all(len(lhs) <= 2 for lhs, _ in got_ff)
+
+
 def test_fdmine_compat_surface(spark, testfd):
     """compat FdMine exposes the raw reference FdList."""
     from desbordante_spark import compat
