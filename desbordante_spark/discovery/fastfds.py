@@ -92,7 +92,9 @@ def discover_fds_fastfds(
     idx = {c: i for i, c in enumerate(cols)}
     cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
     if n == 0:
-        return []
+        # the reference throws at load time on empty input; this engine's
+        # convention (tane.discover_fds) is "every column constant"
+        return [((), c) for c in cols]
     total_pairs = n * (n - 1) // 2
     agree_masks: set[int] = set()
     covered = 0

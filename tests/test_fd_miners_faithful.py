@@ -181,6 +181,41 @@ def test_fdmine_raw_output_not_minimal_by_design(spark, testfd):
     assert len(raw) >= len(minimized)
 
 
+# ---- degenerate inputs ----------------------------------------------------
+
+def test_edge_inputs_match_tane(spark):
+    """Empty / single-row / null-bearing frames: both new miners follow
+    the engine convention (tane). All-rows-IDENTICAL is the one documented
+    divergence: the reference FastFDs returns NOTHING there (its empty
+    difference set short-circuits, fastfds.cpp:53-57) while Depminer's
+    constant check fires — both reproduced."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+    from desbordante_spark.discovery.tane import discover_fds
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in ("a", "b", "c")]
+    )
+    cases = {
+        "empty": [],
+        "single": [("1", "2", "3")],
+        "nulls": [("1", None, "3"), ("1", None, "3"), ("2", "x", None),
+                  ("2", "y", None), (None, "x", "z")],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, schema)
+        want = sorted(discover_fds(df, max_lhs=2))
+        assert discover_fds_fastfds(df, max_lhs=2) == want, name
+        assert discover_fds_depminer(df, max_lhs=2) == want, name
+    ident = spark.createDataFrame([("1", "2", "3")] * 4, schema)
+    assert discover_fds_fastfds(ident, max_lhs=2) == []  # fastfds.cpp:53-57
+    assert discover_fds_depminer(ident, max_lhs=2) == sorted(
+        discover_fds(ident, max_lhs=2)
+    )
+
+
 # ---- wide tables: pair-stream agree-set factory ---------------------------
 
 def test_pairwise_cover_equals_counting_factory(spark):
