@@ -181,3 +181,60 @@ def test_compat_fastod_numeric_text_equivalence(spark, tmp_path):
     # a <-> b are mutually constant per group only if '1'=='1.0'=='01';
     # the simple OD {1}: [] -> 2 (b constant per a-group) must hold
     assert "{1} : [] -> 2<=" in algo.get_simple_ods()
+
+
+# --------------------------------------------- auto AFD strategy selection
+
+def _regime_frame(spark, regime: str):
+    """dense: most level-1 pairs are near-FDs (mod chains). deep: a clean
+    composite key with independent noise columns — no shallow deps."""
+    rows = []
+    for i in range(400):
+        if regime == "dense":
+            rows.append((i % 8, i % 8, i % 16, i % 16))
+        else:
+            rows.append((i // 20, i % 20, (i * 7919) % 13, (i * 104729) % 11))
+    return spark.createDataFrame(
+        [tuple(str(v) for v in r) for r in rows],
+        "a string, b string, c string, d string",
+    )
+
+
+def test_afd_auto_picks_levelwise_in_dense_regime(spark):
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_auto
+
+    df = _regime_frame(spark, "dense")
+    stats: dict = {}
+    got = discover_afds_auto(df, max_lhs=2, max_error=0.3, stats=stats)
+    assert stats["chosen"] == "levelwise"
+    assert stats["density"] >= 0.15
+    assert got == discover_afds(df, max_lhs=2, max_error=0.3)
+
+
+def test_afd_auto_picks_traversal_in_deep_regime(spark):
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_auto
+
+    df = _regime_frame(spark, "deep")
+    stats: dict = {}
+    got = discover_afds_auto(df, max_lhs=3, max_error=0.01, stats=stats)
+    assert stats["chosen"] == "traversal"
+    assert stats["density"] < 0.15
+    assert got == discover_afds(df, max_lhs=3, max_error=0.01)
+
+
+def test_afd_auto_per_value_always_levelwise(spark, testfd):
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_auto
+
+    df = testfd.drop("row_id")
+    stats: dict = {}
+    got = discover_afds_auto(
+        df, max_lhs=2, max_error=0.3, error_measure="per_value",
+        stats=stats,
+    )
+    assert stats["chosen"] == "levelwise_per_value"
+    assert got == discover_afds(
+        df, max_lhs=2, max_error=0.3, error_measure="per_value"
+    )
