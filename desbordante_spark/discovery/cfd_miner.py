@@ -39,9 +39,9 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["discover_cfds"]
+from desbordante_spark.discovery.common import group_key
 
-_SEP = "\x01"
+__all__ = ["discover_cfds"]
 
 
 def discover_cfds(
@@ -100,11 +100,10 @@ def discover_cfds(
                 pieces.append(F.lit(f"{a}=_"))
         pattern = F.concat_ws(" AND ", *pieces)
         var_attrs = [a for a in s if a not in cset]
-        var_key = (
-            F.concat_ws(_SEP, *[F.col(a).cast("string") for a in var_attrs])
-            if var_attrs
-            else F.lit("")
-        )
+        # injective key (common.group_key): null-bearing rows are filtered
+        # upstream, but values containing the separator byte must not
+        # collide across attribute boundaries
+        var_key = group_key(var_attrs)
         return pattern, var_key
 
     structs = []

@@ -16,14 +16,38 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SEP", "NULL", "pair_mass_level", "distinct_count_level",
-           "content_sample"]
+__all__ = ["SEP", "NULL", "encode_value", "group_key", "pair_mass_level",
+           "distinct_count_level", "content_sample"]
 
 SEP = "\x01"
 NULL = "\x00∅"
+
+
+def encode_value(c: str | Column) -> Column:
+    """Collision-free single-value encoding for composite grouping keys:
+    non-null values are LENGTH-PREFIXED (``len:value``), nulls become the
+    unprefixed ``NULL`` marker. The framing makes the joined key
+    injective — a value containing the separator byte, or a value equal
+    to the null marker itself, can no longer collide across column
+    boundaries (every non-null token starts with digits + ':', the null
+    marker starts with a non-digit, and the length pins each token's
+    span). Plain ``concat_ws(SEP, coalesce(...))`` keys lacked both
+    guarantees."""
+    s = F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+    return F.when(s.isNull(), F.lit(NULL)).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
+def group_key(cols: tuple[str, ...] | list[str]) -> Column:
+    """Injective multi-column grouping key (see ``encode_value``); the
+    empty column set yields the empty string (one global group)."""
+    if not cols:
+        return F.lit("")
+    return F.concat_ws(SEP, *[encode_value(c) for c in cols])
 
 
 def pair_mass_level(
@@ -35,12 +59,9 @@ def pair_mass_level(
     (empty input) come back as ``(0, 0)``."""
     structs = []
     for i, cols in enumerate(cands):
-        key = F.concat_ws(
-            SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(NULL))
-              for c in cols],
+        structs.append(
+            F.struct(F.lit(i).alias("cid"), group_key(cols).alias("k"))
         )
-        structs.append(F.struct(F.lit(i).alias("cid"), key.alias("k")))
     e = df.select(F.explode(F.array(*structs)).alias("c")).select(
         "c.cid", "c.k"
     )
@@ -72,12 +93,9 @@ def distinct_count_level(
         return {}
     structs = []
     for i, cols in enumerate(cands):
-        key = F.concat_ws(
-            SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(NULL))
-              for c in cols],
+        structs.append(
+            F.struct(F.lit(i).alias("cid"), group_key(cols).alias("k"))
         )
-        structs.append(F.struct(F.lit(i).alias("cid"), key.alias("k")))
     e = df.select(F.explode(F.array(*structs)).alias("c")).select(
         "c.cid", "c.k"
     )

@@ -39,7 +39,6 @@ reported when minimal. ``max_lhs`` bounds the level walk.
 
 from __future__ import annotations
 
-from itertools import combinations
 
 from pyspark.sql import DataFrame
 
@@ -124,20 +123,28 @@ def discover_fds_depminer(
                         )
                         fds.append((lhs, a))
             remaining = level - found
-            # GenNextLevel (depminer.cpp:173-202): join equal-size sets,
-            # keep unions of size+1 whose every immediate subset remains
+            # GenNextLevel (depminer.cpp:173-202): join equal-size sets
+            # sharing all but their top bit (the loose CheckJoin + the
+            # all-immediate-subsets prune reduce to exactly this), keep
+            # unions whose every immediate subset remains — O(|remaining|²)
+            # pair work, never a combinations() sweep over the bit union
             size += 1
             if size > max_lhs:
                 break
-            bits = sorted({b for l in remaining for b in range(m)
-                           if l >> b & 1})
+            groups: dict[int, list[int]] = {}
+            for l in sorted(remaining):
+                top = 1 << (l.bit_length() - 1)
+                groups.setdefault(l ^ top, []).append(l)
             nxt = set()
-            for combo in combinations(bits, size):
-                cand = 0
-                for b in combo:
-                    cand |= 1 << b
-                if all((cand & ~(1 << b)) in remaining for b in combo):
-                    nxt.add(cand)
+            for sibs in groups.values():
+                for ii in range(len(sibs)):
+                    for jj in range(ii + 1, len(sibs)):
+                        cand = sibs[ii] | sibs[jj]
+                        if all(
+                            (cand & ~(1 << b)) in remaining
+                            for b in range(m) if cand >> b & 1
+                        ):
+                            nxt.add(cand)
             level = nxt
 
     if stats is not None:

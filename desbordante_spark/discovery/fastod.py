@@ -51,12 +51,12 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from desbordante_spark.discovery.common import group_key
+
 from desbordante_spark.discovery.order import _evaluate_od_candidates
 
 __all__ = ["discover_ods_fastod"]
 
-_SEP = "\x01"
-_NULL = "\x00∅"
 
 #: hard cap on the validity-check batch size — bounds the per-job
 #: struct-literal count so plan analysis stays fast even on wide lattices.
@@ -136,21 +136,10 @@ def _constancy_checks(
         chunk = cands[lo:lo + chunk_size]
         structs = []
         for i, (ctx, r) in enumerate(chunk):
-            # coalesce to a sentinel BEFORE concat_ws: concat_ws silently
-            # skips NULL elements, which would collapse ('a', NULL) and
-            # (NULL, 'a') into one context group (pfdtane._score_level's
-            # _NULL pattern)
-            ctxk = (
-                F.concat_ws(
-                    _SEP,
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-                        for c in ctx
-                    ],
-                )
-                if ctx
-                else F.lit("")
-            )
+            # injective context key (common.group_key): length-prefixed
+            # values with a null marker — no null-skipping collapse, no
+            # cross-column or value-equals-sentinel collisions
+            ctxk = group_key(ctx)
             structs.append(
                 F.struct(
                     F.lit(i).alias("cid"),
@@ -288,20 +277,28 @@ def discover_ods_fastod(
              cols[a], cols[b], d)
             for x, a, b, d in pair_reqs
         ]
+        # reference semantics on expiry: stop cleanly, keep everything
+        # already validated (is_complete_ = false, fastod.cpp:138-263).
+        # The two phases time out INDEPENDENTLY: constancy verdicts whose
+        # jobs completed are applied even when the swap phase expires —
+        # their cluster work is already paid.
         try:
             simple_ok = _constancy_checks(
                 df, simple_cands, chunk_size, deadline
             )
-            pair_ok = _swap_checks(df, pair_cands, chunk_size, deadline)
         except _TimeUp:
-            # reference semantics: stop cleanly, keep everything already
-            # validated (is_complete_ = false, fastod.cpp:138-263)
             complete = False
             break
         simple_valid = dict(zip(simple_reqs, simple_ok))
         n_simple += len(simple_reqs)
-        pair_valid = dict(zip(pair_reqs, pair_ok))
-        n_swap += len(pair_reqs)
+        pair_valid: dict | None
+        try:
+            pair_ok = _swap_checks(df, pair_cands, chunk_size, deadline)
+            pair_valid = dict(zip(pair_reqs, pair_ok))
+            n_swap += len(pair_reqs)
+        except _TimeUp:
+            complete = False
+            pair_valid = None  # this level's swap verdicts are unknown
         if os.environ.get("SPARK_GRAFT_FASTOD_DEBUG"):
             print(
                 f"fastod level={level} ctxs={len(ctxs)} "
@@ -319,6 +316,8 @@ def discover_ods_fastod(
                     cc[x] = cc[x] - {attr}
                     if schema - x:
                         cc[x] &= x
+            if pair_valid is None:
+                continue  # timed out in the swap phase — simple ODs kept
             for d in ("asc", "desc"):
                 kept = set()
                 for p in sorted(cs[d][x]):
@@ -332,6 +331,8 @@ def discover_ods_fastod(
                     else:
                         kept.add(p)
                 cs[d][x] = kept
+        if not complete:
+            break
 
         # ---- prune + next level (fastod.cpp PruneLevels/CalculateNextLevel)
         if level > 1:

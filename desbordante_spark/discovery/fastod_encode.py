@@ -57,18 +57,31 @@ from desbordante_spark.operators.schema_infer import type_profile
 
 __all__ = ["typed_rank_encode"]
 
-_RE_INT = re.compile(r"^[+-]?[0-9]{1,19}$")
-_RE_BIGINT = re.compile(r"^[+-]?[0-9]{20,}$")
-_RE_DOUBLE = re.compile(r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$")
-_RE_DATE_DELIM = re.compile(
-    r"^([0-9]{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12][0-9]|3[01])$"
-)
-_RE_DATE_UNDELIM = re.compile(
-    r"^([0-9]{4})(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"
+# the SAME class boundaries type_profile uses (operators/schema_infer.py)
+# — the mixed-column driver ranking must agree exactly with the deduced
+# column type that routed it, so the patterns are IMPORTED, not copied
+from desbordante_spark.operators.schema_infer import (  # noqa: E402
+    _RE_BIGINT as _BIGINT_SQL,
+    _RE_DATE_DELIM as _DATE_DELIM_SQL,
+    _RE_DATE_UNDELIM as _DATE_UNDELIM_SQL,
+    _RE_DOUBLE as _DOUBLE_SQL,
+    _RE_INT as _INT_SQL,
 )
 
-_DATE_DELIM_SQL = r"^[0-9]{4}[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12][0-9]|3[01])$"
-_DATE_UNDELIM_SQL = r"^[0-9]{4}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"
+_RE_INT = re.compile(_INT_SQL)
+_RE_BIGINT = re.compile(_BIGINT_SQL)
+_RE_DOUBLE = re.compile(_DOUBLE_SQL)
+
+
+def _with_year_group(pattern: str) -> re.Pattern:
+    """Compile a schema_infer date shape with the year captured (the
+    Python parser reads groups year/month/day; the SQL side needs none)."""
+    assert pattern.startswith("^[0-9]{4}"), pattern
+    return re.compile(pattern.replace("^[0-9]{4}", "^([0-9]{4})", 1))
+
+
+_RE_DATE_DELIM = _with_year_group(_DATE_DELIM_SQL)
+_RE_DATE_UNDELIM = _with_year_group(_DATE_UNDELIM_SQL)
 
 
 def _parse_date(v: str) -> _date | None:

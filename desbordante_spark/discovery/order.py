@@ -33,11 +33,11 @@ from itertools import combinations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from desbordante_spark.discovery.common import group_key
+
 __all__ = ["discover_ods", "discover_ods_auto"]
 
 
-_SEP = "\x01"
-_NULLMARK = "\x00∅"
 
 #: candidate = (context column tuple, lhs, rhs, direction)
 Candidate = tuple[tuple[str, ...], str, str, str]
@@ -58,15 +58,9 @@ def _evaluate_od_candidates(
         bv = F.col(b).try_cast("double")
         if d == "desc":
             bv = -bv
-        ctxk = (
-            F.concat_ws(
-                _SEP,
-                *[F.coalesce(F.col(c).cast("string"), F.lit(_NULLMARK))
-                  for c in ctx],
-            )
-            if ctx
-            else F.lit("")
-        )
+        # injective context key (common.group_key): length-prefixed values
+        # — no cross-column or value-equals-sentinel collisions
+        ctxk = group_key(ctx)
         structs.append(
             F.struct(
                 F.lit(i).alias("cid"),

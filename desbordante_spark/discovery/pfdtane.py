@@ -37,10 +37,10 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from desbordante_spark.discovery.common import encode_value, group_key
+
 __all__ = ["discover_afds"]
 
-_SEP = "\x01"
-_NULL = "\x00∅"
 
 #: above this candidate count a level is scored in bounded batches —
 #: one job's explode factor stays ≤ _SCORE_CHUNK structs per row (wide
@@ -67,20 +67,13 @@ def _score_level(
         return out
     structs = []
     for i, (lhs, rhs) in enumerate(cands):
-        key = (
-            F.concat_ws(
-                _SEP,
-                *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-                  for c in lhs],
-            )
-            if lhs
-            else F.lit("")
-        )
+        # injective keys (common.group_key/encode_value): length-prefixed
+        # values — no cross-column or value-equals-sentinel collisions
         structs.append(
             F.struct(
                 F.lit(i).alias("cid"),
-                key.alias("xk"),
-                F.coalesce(F.col(rhs).cast("string"), F.lit(_NULL)).alias("av"),
+                group_key(lhs).alias("xk"),
+                encode_value(rhs).alias("av"),
             )
         )
     exploded = df.select(F.explode(F.array(*structs)).alias("c")).select(

@@ -389,19 +389,22 @@ def discover_afds_auto(
         return out
 
     cands = [((x,), a) for x in cols for a in cols if x != a]
-    got = _score_level(df, cands, error_measure)
-    n_dep1 = sum(1 for v in got.values() if v <= float(max_error))
-    density = n_dep1 / len(cands) if cands else 0.0
-
-    if max_lhs <= 1:
-        # the probe already scored the whole lattice; assemble directly
-        # (near-constant columns yield () -> a, like the levelwise miner)
+    if max_lhs <= 1 or not cands:
+        # max_lhs<=1: the probe WOULD score the whole lattice — skip it
+        # and run levelwise once (no duplicated jobs). Single-column
+        # frames have no level-1 candidates to probe at all.
         out = discover_afds(
             df, columns=cols, max_lhs=max_lhs, max_error=max_error,
             error_measure=error_measure, stats=inner,
         )
-        chosen = "levelwise"
-    elif density >= dense_threshold:
+        if stats is not None:
+            stats.update(chosen="levelwise", density=None, **inner)
+        return out
+    got = _score_level(df, cands, error_measure)
+    n_dep1 = sum(1 for v in got.values() if v <= float(max_error))
+    density = n_dep1 / len(cands)
+
+    if density >= dense_threshold:
         out = discover_afds(
             df, columns=cols, max_lhs=max_lhs, max_error=max_error,
             error_measure=error_measure, stats=inner,

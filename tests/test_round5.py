@@ -238,3 +238,77 @@ def test_afd_auto_per_value_always_levelwise(spark, testfd):
     assert got == discover_afds(
         df, max_lhs=2, max_error=0.3, error_measure="per_value"
     )
+
+
+# --------------------------------------------- injective grouping keys
+
+def test_group_key_no_cross_column_collision(spark):
+    """Code-review finding: concat_ws keys collided when a value contained
+    the separator byte or equalled the null sentinel. The length-prefixed
+    group_key must keep ('a\\x01b','c') and ('a','b\\x01c') distinct, and a
+    literal '\\x00∅' value distinct from NULL — exact distinct counts,
+    pair masses, UCC/FD verdicts and AFD scores all ride on it."""
+    from desbordante_spark.discovery.common import (
+        NULL,
+        distinct_count_level,
+        pair_mass_level,
+    )
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    df = spark.createDataFrame(
+        [("a\x01b", "c"), ("a", "b\x01c"), ("a\x01b", "e"), ("a", "e")],
+        "x string, y string",
+    )
+    got = distinct_count_level(df, [("x", "y")])
+    assert got[0] == 4  # pre-fix: rows 1+2 concat-collide -> 3
+    ep, n = pair_mass_level(df, [("x", "y")])[0]
+    assert (ep, n) == (0, 4)
+    # x and y are individually non-unique; (x, y) IS the minimal key —
+    # the collision made it look non-unique and dropped it
+    assert [sorted(u) for u in discover_uccs(df, max_size=2)] == [["x", "y"]]
+
+    df2 = spark.createDataFrame(
+        [(NULL, "v"), (None, "v")], "x string, y string"
+    )
+    got2 = distinct_count_level(df2, [("x",), ("x", "y")])
+    assert got2[0] == 2 and got2[1] == 2  # sentinel value != real NULL
+
+
+def test_afd_scores_no_separator_collision(spark):
+    from desbordante_spark.discovery.pfdtane import _score_level
+
+    # two LHS clusters, each internally consistent on rhs -> error 0;
+    # a concat collision would merge them into one split cluster
+    df = spark.createDataFrame(
+        [("a\x01b", "c", "1"), ("a", "b\x01c", "2")],
+        "x string, y string, r string",
+    )
+    got = _score_level(df, [(("x", "y"), "r")], "per_tuple")
+    assert got[0] == 0.0
+
+
+def test_afd_auto_single_column_no_probe_crash(spark):
+    """Code-review finding: the level-1 probe crashed on 1-column frames
+    (empty candidate list -> F.array() of zero structs fails analysis);
+    delegation must bypass the probe."""
+    from desbordante_spark.discovery.pyro import discover_afds_auto
+
+    df = spark.createDataFrame([("1",), ("2",), ("2",)], "a string")
+    stats: dict = {}
+    got = discover_afds_auto(df, max_lhs=2, max_error=0.3, stats=stats)
+    assert stats["chosen"] == "levelwise"
+    assert got == []
+
+
+def test_afd_auto_max_lhs_1_skips_probe(spark, testfd):
+    """max_lhs=1: probing would duplicate the whole lattice — the auto
+    wrapper must run levelwise once, no probe job."""
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_auto
+
+    df = testfd.drop("row_id")
+    stats: dict = {}
+    got = discover_afds_auto(df, max_lhs=1, max_error=0.3, stats=stats)
+    assert stats["chosen"] == "levelwise"
+    assert stats["density"] is None  # probe skipped
+    assert got == discover_afds(df, max_lhs=1, max_error=0.3)
