@@ -193,6 +193,33 @@ class _FdMiner(_Algo):
             )
 
             fds = discover_fds_fdmine(df)
+        elif self._strategy == "pyro":
+            # fd.algorithms.Pyro (bind_fd.cpp:57-62): Pyro at error=0 IS
+            # exact minimal-FD discovery — the estimate-steered traversal
+            # with every classification exact
+            from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+            fds = [
+                (lhs, rhs)
+                for lhs, rhs, _e in discover_afds_pyro(
+                    df, max_lhs=k, max_error=0.0, error_measure="g1"
+                )
+            ]
+        elif self._strategy == "pfdtane":
+            # fd.algorithms.PFDTane: levelwise with an error measure
+            from desbordante_spark.discovery.pfdtane import discover_afds
+
+            fds = [
+                (lhs, rhs)
+                for lhs, rhs, _e in discover_afds(
+                    df, max_lhs=k,
+                    max_error=float(_kw.get("error", 0.0)),
+                    error_measure=_kw.get(
+                        "error_measure",
+                        _kw.get("pfd_error_measure", "per_tuple"),
+                    ),
+                )
+            ]
         else:  # aid
             from desbordante_spark.discovery.aid import discover_fds_aid
 
@@ -232,6 +259,12 @@ class _fd:
 
         class Aid(_FdMiner):
             _strategy = "aid"
+
+        class Pyro(_FdMiner):
+            _strategy = "pyro"
+
+        class PFDTane(_FdMiner):
+            _strategy = "pfdtane"
 
         Default = HyFD  # algorithm_types.h: Default FD miner is HyFD
 
@@ -327,25 +360,54 @@ class _ucc:
 
 # -------------------------------------------------------------- IND mining
 
+class _MultiTableInd(_Algo):
+    """Shared multi-table load_data for the IND family (the reference's
+    INDAlgorithm base consumes a table LIST)."""
+
+    def load_data(self, tables=None, table=None, spark=None, **_kw):
+        specs = tables if tables is not None else [table]
+        self._tables = {}
+        for spec in specs:
+            df, _rid, cols = _load_table(spec, spark)
+            name = (
+                spec[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                if isinstance(spec, tuple) else f"t{len(self._tables)}"
+            )
+            # two specs sharing a basename (a/data.csv, b/data.csv)
+            # must not silently overwrite each other
+            if name in self._tables:
+                name = f"{name}_{len(self._tables)}"
+            self._tables[name] = df.select(*cols)
+        return self
+
+    def get_inds(self):
+        return self._inds
+
+
+class _NaryIndMiner(_MultiTableInd):
+    """Mind / Faida (src/python_bindings/ind/bind_ind.cpp — both are
+    IndAlgorithm with get_inds). Faida is the HLL-sketch-pruned approx
+    path; Mind is exact levelwise."""
+
+    _approx = False
+
+    def execute(self, max_arity: int = 2, error: float = 0.0, **_kw):
+        from desbordante_spark.discovery.mind import discover_nary_inds
+
+        self._inds = (
+            discover_nary_inds(
+                self._tables, max_arity=max_arity, max_error=error,
+                approx=self._approx,
+            )
+            .filter("holds = 1")
+            .collect()
+        )
+        return self
+
+
 class _ind:
     class algorithms:
-        class Spider(_Algo):
-            def load_data(self, tables=None, table=None, spark=None, **_kw):
-                specs = tables if tables is not None else [table]
-                self._tables = {}
-                for spec in specs:
-                    df, _rid, cols = _load_table(spec, spark)
-                    name = (
-                        spec[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                        if isinstance(spec, tuple) else f"t{len(self._tables)}"
-                    )
-                    # two specs sharing a basename (a/data.csv, b/data.csv)
-                    # must not silently overwrite each other
-                    if name in self._tables:
-                        name = f"{name}_{len(self._tables)}"
-                    self._tables[name] = df.select(*cols)
-                return self
-
+        class Spider(_MultiTableInd):
             def execute(self, error: float = 0.0, **_kw):
                 from desbordante_spark.discovery.spider import (
                     discover_unary_inds,
@@ -356,10 +418,22 @@ class _ind:
                 ).collect()
                 return self
 
-            def get_inds(self):
-                return self._inds
+        class Mind(_NaryIndMiner):
+            _approx = False
+
+        class Faida(_NaryIndMiner):
+            _approx = True
 
         Default = Spider
+
+
+class _aind:
+    # bind_ind.cpp:41 — define_submodule("aind", {Spider, Mind}); the AIND
+    # surface is the same classes driven with error > 0
+    class algorithms:
+        Spider = _ind.algorithms.Spider
+        Mind = _ind.algorithms.Mind
+        Default = _ind.algorithms.Spider
 
 
 # ---------------------------------------------------------------- OD mining
@@ -1069,6 +1143,7 @@ afd = _afd
 pfd = _pfd
 ucc = _ucc
 ind = _ind
+aind = _aind
 od = _od
 dd = _dd
 cfd = _cfd

@@ -276,3 +276,75 @@ def test_fdmine_compat_surface(spark, testfd):
     algo.execute()
     fds = algo.get_fds()
     assert fds  # non-empty on TestFD
+
+
+# ---- pip-binding surface parity -------------------------------------------
+
+def test_compat_surface_covers_reference_bindings():
+    """Every algorithm class the reference's python bindings export
+    (src/python_bindings/{fd,ucc,ind,od,cfd,ar,ac,dd}/bind_*.cpp) exists
+    on the compat surface under the same module path."""
+    import desbordante_spark.compat as d
+
+    surface = {
+        "fd": ["HyFD", "Aid", "Depminer", "DFD", "FastFDs", "FDep",
+               "FdMine", "FUN", "Pyro", "Tane", "PFDTane"],
+        "afd": ["Pyro", "Tane"],
+        "pfd": ["PFDTane"],
+        "ucc": ["HyUCC", "PyroUCC"],
+        "ind": ["Spider", "Faida", "Mind"],
+        "aind": ["Spider", "Mind"],
+        "od": ["Fastod", "Order"],
+        "cfd": ["FDFirst"],
+        "ar": ["Apriori"],
+        "dd": ["Split"],
+        "fd_verification": ["FDVerifier"],
+        "afd_verification": ["FDVerifier"],
+        "ucc_verification": ["UccVerifier"],
+        "aucc_verification": ["UccVerifier"],
+        "mfd_verification": ["MetricVerifier"],
+        "gfd_verification": ["GfdValid", "EGfdValid", "NaiveGfdValid"],
+    }
+    for mod, classes in surface.items():
+        algos = getattr(d, mod).algorithms
+        for cls in classes + ["Default"]:
+            assert hasattr(algos, cls), f"{mod}.algorithms.{cls}"
+
+
+def test_compat_fd_pyro_and_pfdtane(spark, testfd):
+    """fd.algorithms.Pyro at error=0 and PFDTane at error=0 both return
+    the exact minimal-FD set (reference: all FD miners pinned to one
+    result)."""
+    import desbordante_spark.compat as d
+
+    df = testfd.drop("row_id")
+    want = {str(fd) for fd in
+            d.fd.algorithms.Tane().load_data(table=df).execute(
+                max_lhs=2).get_fds()}
+    for cls in (d.fd.algorithms.Pyro, d.fd.algorithms.PFDTane):
+        got = {str(fd) for fd in
+               cls().load_data(table=df).execute(max_lhs=2).get_fds()}
+        assert got == want, cls.__name__
+
+
+def test_compat_mind_faida_nary(spark):
+    """ind.algorithms.Mind (exact n-ary) and Faida (sketch-pruned) agree
+    on a small frame; aind.algorithms drives Spider/Mind with error."""
+    import desbordante_spark.compat as d
+
+    t1 = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "x string, y string"
+    )
+    t2 = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], "u string, v string"
+    )
+    kinds = {}
+    for name, cls in (("mind", d.ind.algorithms.Mind),
+                      ("faida", d.ind.algorithms.Faida)):
+        algo = cls()
+        algo._tables = {"t1": t1, "t2": t2}
+        algo.execute(max_arity=2)
+        kinds[name] = sorted((r["lhs"], r["rhs"]) for r in algo.get_inds())
+    assert kinds["mind"] == kinds["faida"]
+    assert ("t1[x,y]", "t2[u,v]") in kinds["mind"]
+    assert d.aind.algorithms.Default is d.aind.algorithms.Spider
