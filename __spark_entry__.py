@@ -1204,75 +1204,153 @@ def _q_ind_discovery_aind_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FD_MINER_NAMES = (
+    "tane", "hyfd", "fdep", "fun", "dfd", "fastfds", "depminer", "fdmine",
+)
+
+
+def _q_fd_discovery_all_miners_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # One driver row covering ALL eight FD miners: the reference pins every
+    # FD algorithm to the SAME canonical result hash per dataset
+    # (src/tests/test_fd_algorithm.cpp:105-110), so each miner must emit the
+    # identical minimal-FD set. Emits (algorithm, lhs, rhs); the oracle is
+    # the closed-form minimal-FD set cross-joined with the algorithm names.
+    from desbordante_spark.discovery.depminer import discover_fds_depminer
+    from desbordante_spark.discovery.dfd import discover_fds_dfd
+    from desbordante_spark.discovery.fastfds import discover_fds_fastfds
+    from desbordante_spark.discovery.fd_mine import (
+        discover_fds_fdmine_minimized,
+    )
+    from desbordante_spark.discovery.fdep import discover_fds_fdep
+    from desbordante_spark.discovery.fun import discover_fds_fun
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    miners = {
+        "tane": discover_fds,
+        "hyfd": discover_fds_hybrid,
+        "fdep": discover_fds_fdep,
+        "fun": discover_fds_fun,
+        "dfd": discover_fds_dfd,
+        "fastfds": discover_fds_fastfds,
+        "depminer": discover_fds_depminer,
+        "fdmine": discover_fds_fdmine_minimized,
+    }
+    df = _read(spark, sf_dir, "orders").select(*_ORDERS_COLS)
+    rows = [
+        (name, ",".join(lhs), rhs)
+        for name in _FD_MINER_NAMES
+        for lhs, rhs in miners[name](df, max_lhs=2)
+    ]
+    return spark.createDataFrame(
+        rows, "algorithm string, lhs string, rhs string"
+    )
+
+
+def _q_ucc_discovery_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One driver row covering both UCC miners (levelwise TANE-style +
+    # hybrid HyUCC) — the reference pins HyUCC to the verifier's result set
+    # (test_ucc_verifier.cpp:96-123), so both emit the identical minimal
+    # UCC set. Emits (algorithm, ucc).
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    df = _read(spark, sf_dir, "orders").select(*_ORDERS_COLS)
+    rows = [
+        (name, ",".join(u))
+        for name, fn in (
+            ("tane", discover_uccs),
+            ("hyucc", discover_uccs_hybrid),
+        )
+        for u in fn(df, max_size=2)
+    ]
+    return spark.createDataFrame(rows, "algorithm string, ucc string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records exactly the FIRST 50 entries in
+    # CORRECTNESS_r{N}.json. Slots 1-50 therefore hold exactly one entry per
+    # SURVEY §2 operator family / LLM-pipeline operator (redundant
+    # same-result variants are collapsed into the *_all_* combined entries).
+    # Entries past 50 are same-family variants kept for check_oracle/pytest
+    # granularity — still oracle-gated, just not driver-recorded.
     return {
+        # — verification primitives (one per §2.3 family) —
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
         "ucc_metrics_orders_custkey": _q_ucc_metrics_orders_custkey,
-        "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
         "fd_violations_orders": _q_fd_violations_orders,
         "fd_metrics_orders": _q_fd_metrics_orders,
         "afd_metrics_lineitem": _q_afd_metrics_lineitem,
+        "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
-        "ind_missing_events_customer": _q_ind_missing_events_customer,
-        "stats_profile_lineitem": _q_stats_profile_lineitem,
-        "type_inference_orders": _q_type_inference_orders,
-        "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
-        "word_stats_documents": _q_word_stats_documents,
-        "top_words_documents": _q_top_words_documents,
-        "drift_events_by_type": _q_drift_events_by_type,
-        "span_invariant_violations": _q_span_invariant_violations,
         "referential_media_catalog": _q_referential_media_catalog,
-        "span_equality_docs": _q_span_equality_docs,
         "od_violations_lineitem": _q_od_violations_lineitem,
         "mfd_violations_orders": _q_mfd_violations_orders,
         "cfd_metrics_orders": _q_cfd_metrics_orders,
+        "dd_violations_supplier": _q_dd_violations_supplier,
+        "gfd_order_customer": _q_gfd_order_customer,
+        "gfd_dot_directors": _q_gfd_dot_directors,
+        "dynamic_fd_orders": _q_dynamic_fd_orders,
+        "span_invariant_violations": _q_span_invariant_violations,
+        "span_equality_docs": _q_span_equality_docs,
+        # — statistics / profiling (§2.4) —
+        "stats_profile_lineitem": _q_stats_profile_lineitem,
+        "type_inference_orders": _q_type_inference_orders,
+        "word_stats_documents": _q_word_stats_documents,
+        "drift_events_by_type": _q_drift_events_by_type,
+        # — LLM-pipeline operators (one per operator) —
         "dedup_exact_documents": _q_dedup_exact_documents,
         "minhash_documents": _q_minhash_documents,
-        "simhash_documents": _q_simhash_documents,
+        "near_dup_minhash_documents": _q_near_dup_minhash_documents,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "token_counts_documents": _q_token_counts_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "lang_id_documents": _q_lang_id_documents,
+        "quality_score_documents": _q_quality_score_documents,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
-        "ar_pair_rules_events": _q_ar_pair_rules_events,
-        "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
-        "fd_discovery_orders": _q_fd_discovery_orders,
-        "afd_discovery_orders": _q_afd_discovery_orders,
-        "od_discovery_lineitem": _q_od_discovery_lineitem,
-        "ucc_discovery_orders": _q_ucc_discovery_orders,
-        "ucc_discovery_hybrid_orders": _q_ucc_discovery_hybrid_orders,
-        "ind_discovery_tpch": _q_ind_discovery_tpch,
-        "ind_discovery_nary": _q_ind_discovery_nary,
-        "dd_violations_supplier": _q_dd_violations_supplier,
-        "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ann_topk_lsh_embeddings": _q_ann_topk_lsh_embeddings,
         "ann_topk_ivf_embeddings": _q_ann_topk_ivf_embeddings,
         "embedding_near_dup": _q_embedding_near_dup,
-        "simhash_near_pairs": _q_simhash_near_pairs,
-        "cfd_tableau_orders": _q_cfd_tableau_orders,
+        # — discovery miners (§2.5, one per algorithm family) —
+        "fd_discovery_all_miners_orders": _q_fd_discovery_all_miners_orders,
+        "afd_discovery_orders": _q_afd_discovery_orders,
+        "afd_discovery_pyro_orders": _q_afd_discovery_pyro_orders,
+        "aucc_discovery_orders": _q_aucc_discovery_orders,
+        "ucc_discovery_all_orders": _q_ucc_discovery_all_orders,
+        "od_discovery_lineitem": _q_od_discovery_lineitem,
+        "od_discovery_auto_lineitem": _q_od_discovery_auto_lineitem,
+        "ind_discovery_tpch": _q_ind_discovery_tpch,
+        "ind_discovery_nary": _q_ind_discovery_nary,
+        "ind_discovery_nary_approx": _q_ind_discovery_nary_approx,
+        "ind_discovery_aind_nulls": _q_ind_discovery_aind_nulls,
+        "cfd_discovery_orders": _q_cfd_discovery_orders,
+        "dd_discovery_supplier": _q_dd_discovery_supplier,
+        "ar_pair_rules_events": _q_ar_pair_rules_events,
+        "ac_exceptions_lineitem": _q_ac_exceptions_lineitem,
+        "typo_candidates_cities": _q_typo_candidates_cities,
+        "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
+        # ---- position 51+ : same-family variants (check_oracle/pytest) ----
+        "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
+        "ind_missing_events_customer": _q_ind_missing_events_customer,
+        "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
+        "top_words_documents": _q_top_words_documents,
         "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
         "mfd_highlights_orders": _q_mfd_highlights_orders,
-        "gfd_order_customer": _q_gfd_order_customer,
-        "dynamic_fd_orders": _q_dynamic_fd_orders,
-        "quality_score_documents": _q_quality_score_documents,
-        "cfd_discovery_orders": _q_cfd_discovery_orders,
-        "od_discovery_auto_lineitem": _q_od_discovery_auto_lineitem,
-        "dd_discovery_supplier": _q_dd_discovery_supplier,
-        "ind_discovery_nary_approx": _q_ind_discovery_nary_approx,
-        "gfd_dot_directors": _q_gfd_dot_directors,
+        "cfd_tableau_orders": _q_cfd_tableau_orders,
+        "simhash_documents": _q_simhash_documents,
+        "fd_discovery_orders": _q_fd_discovery_orders,
         "fd_discovery_hybrid_orders": _q_fd_discovery_hybrid_orders,
-        "aucc_discovery_orders": _q_aucc_discovery_orders,
-        "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
-        "afd_discovery_pyro_orders": _q_afd_discovery_pyro_orders,
         "fd_discovery_fdep_orders": _q_fd_discovery_fdep_orders,
         "fd_discovery_fun_orders": _q_fd_discovery_fun_orders,
         "fd_discovery_dfd_orders": _q_fd_discovery_dfd_orders,
         "fd_discovery_fastfds_orders": _q_fd_discovery_fastfds_orders,
         "fd_discovery_depminer_orders": _q_fd_discovery_depminer_orders,
         "fd_discovery_fdmine_orders": _q_fd_discovery_fdmine_orders,
-        "near_dup_minhash_documents": _q_near_dup_minhash_documents,
-        "typo_candidates_cities": _q_typo_candidates_cities,
-        "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
-        "ind_discovery_aind_nulls": _q_ind_discovery_aind_nulls,
+        "ucc_discovery_orders": _q_ucc_discovery_orders,
+        "ucc_discovery_hybrid_orders": _q_ucc_discovery_hybrid_orders,
+        "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
     }
 
 
@@ -2571,6 +2649,18 @@ SELECT total_rows, num_clusters,
 FROM m
 """,
         "fd_discovery_orders": _fd_minimal_oracle(),
+        "fd_discovery_all_miners_orders": (
+            "SELECT a.algorithm, f.lhs, f.rhs FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{n}' AS algorithm" for n in _FD_MINER_NAMES
+            )
+            + ") a CROSS JOIN (" + _fd_minimal_oracle() + ") f"
+        ),
+        "ucc_discovery_all_orders": (
+            "SELECT a.algorithm, u.ucc FROM ("
+            "SELECT 'tane' AS algorithm UNION ALL SELECT 'hyucc' AS algorithm"
+            ") a CROSS JOIN (" + _ucc_minimal_oracle() + ") u"
+        ),
         "afd_discovery_orders": _afd_discovery_oracle(0.3),
         "od_discovery_lineitem": _od_discovery_oracle(0),
         "ucc_discovery_orders": _ucc_minimal_oracle(),
