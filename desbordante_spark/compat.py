@@ -194,15 +194,19 @@ class _FdMiner(_Algo):
 
             fds = discover_fds_fdmine(df)
         elif self._strategy == "pyro":
-            # fd.algorithms.Pyro (bind_fd.cpp:57-62): Pyro at error=0 IS
-            # exact minimal-FD discovery — the estimate-steered traversal
-            # with every classification exact
+            # fd.algorithms.Pyro (bind_fd.cpp:57-62): the same bound class
+            # as afd.algorithms.Pyro, so it honors execute(error=...,
+            # error_measure=...) — at the error=0 default it IS exact
+            # minimal-FD discovery (estimate-steered traversal, every
+            # classification exact)
             from desbordante_spark.discovery.pyro import discover_afds_pyro
 
             fds = [
                 (lhs, rhs)
                 for lhs, rhs, _e in discover_afds_pyro(
-                    df, max_lhs=k, max_error=0.0, error_measure="g1"
+                    df, max_lhs=k,
+                    max_error=float(_kw.get("error", 0.0)),
+                    error_measure=_kw.get("error_measure", "g1"),
                 )
             ]
         elif self._strategy == "pfdtane":

@@ -78,7 +78,8 @@ def discover_fds_fastfds(
     columns: list[str] | None = None,
     max_lhs: int = 3,
     max_columns: int = 16,
-    wide: str = "error",
+    wide: str = "pairwise",
+    pair_budget: int = 50_000_000,
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` via the
@@ -90,7 +91,10 @@ def discover_fds_fastfds(
     cols = sorted(columns or df.columns)
     m = len(cols)
     idx = {c: i for i, c in enumerate(cols)}
-    cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
+    cover, n = agree_set_cover(
+        df, cols, max_columns=max_columns, wide=wide,
+        pair_budget=pair_budget,
+    )
     if n == 0:
         # the reference throws at load time on empty input; this engine's
         # convention (tane.discover_fds) is "every column constant"

@@ -68,7 +68,7 @@ def _bits(mask: int) -> list[int]:
 def discover_fds_fdmine(
     df: DataFrame,
     columns: list[str] | None = None,
-    max_columns: int = 16,
+    max_columns: int = 24,
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """FD_Mine's raw (non-minimized) FD list, as the reference's
@@ -88,7 +88,9 @@ def discover_fds_fdmine(
     if m > max_columns:
         raise ValueError(
             f"{m} columns (max_columns={max_columns}); FD_Mine's "
-            "candidate lattice is driver-side"
+            "candidate lattice is driver-side and worst-case 2^m — "
+            "the equivalence/key pruning bounds it on real tables, but "
+            "past this width use discover_fds_hybrid"
         )
     full = (1 << m) - 1
     jobs = 0
@@ -229,7 +231,7 @@ def discover_fds_fdmine_minimized(
     df: DataFrame,
     columns: list[str] | None = None,
     max_lhs: int | None = None,
-    max_columns: int = 16,
+    max_columns: int = 24,
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """FD_Mine post-processed exactly as the reference's own conformance

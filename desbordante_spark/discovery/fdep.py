@@ -239,6 +239,13 @@ def compute_agree_sets_pairwise(
     out = []
     for r in got:
         mk, cnt = int(r["mask"]), int(r["cnt"])
+        if mk == 0:
+            # an xxhash64 cluster collision between unequal values can
+            # surface a candidate pair whose exact agree mask is empty —
+            # drop it here so the documented "pairs agreeing on no column
+            # are omitted" invariant holds (the covered-pair accounting
+            # below already treats such pairs as non-agreeing)
+            continue
         out.append(
             (frozenset(c for c in cols if mk >> idx[c] & 1), cnt)
         )
@@ -281,7 +288,7 @@ def agree_set_cover(
     df: DataFrame,
     cols: list[str],
     max_columns: int = 16,
-    wide: str = "error",
+    wide: str = "pairwise",
     pair_budget: int = 50_000_000,
 ) -> tuple[list[tuple[frozenset[str], int]], int]:
     """Route to the right exact agree-set factory: the subset-counting
@@ -298,7 +305,8 @@ def discover_fds_fdep(
     columns: list[str] | None = None,
     max_lhs: int = 2,
     max_columns: int = 16,
-    wide: str = "error",
+    wide: str = "pairwise",
+    pair_budget: int = 50_000_000,
     stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], str]]:
     """All minimal exact FDs ``X -> A`` with ``|X| <= max_lhs`` from the
@@ -309,7 +317,10 @@ def discover_fds_fdep(
     ``max_columns`` to the budgeted pair-stream factory. Pass
     ``stats={}`` to receive ``{"agree_sets", "pair_mass"}``."""
     cols = sorted(columns or df.columns)
-    cover, n = agree_set_cover(df, cols, max_columns=max_columns, wide=wide)
+    cover, n = agree_set_cover(
+        df, cols, max_columns=max_columns, wide=wide,
+        pair_budget=pair_budget,
+    )
     agree_sets = [a for a, _cnt in cover]
     # constants: every one of the n·(n−1)/2 pairs agrees on c
     all_pairs = n * (n - 1) // 2

@@ -17,8 +17,6 @@ faithful searches; this module does the same for the last three FD miners:
 
 from __future__ import annotations
 
-import csv
-
 import pytest
 
 from tests.test_reference_hash_golden import (

@@ -539,13 +539,16 @@ def test_discover_fds_fdep_equals_tane(spark):
 
 
 def test_fdep_wide_table_guard(spark):
+    # wide='error' keeps the hard lattice-width guard; the DEFAULT is now
+    # wide='pairwise' (round 6) so 18+-column tables run out of the box —
+    # see tests/test_round6.py for the default-path equivalence test
     from desbordante_spark.discovery.fdep import discover_fds_fdep
 
     df = spark.createDataFrame(
         [tuple(range(20))], ", ".join(f"c{i} int" for i in range(20))
     )
     with pytest.raises(ValueError, match="discover_fds_hybrid"):
-        discover_fds_fdep(df, max_columns=16)
+        discover_fds_fdep(df, max_columns=16, wide="error")
 
 
 # ----------------------------------------- DFD random-walk discovery
