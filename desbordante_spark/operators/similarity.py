@@ -6,10 +6,12 @@ over an ``array<float>`` embedding column.
 - **Brute-force cosine top-k** — the exactness baseline: broadcast the query
   set, score every (query, corpus) pair with a JVM-side
   ``aggregate(zip_with(...))`` dot product (no Python in the hot path), rank
-  per query with a window. Cost O(|Q|·|C|) — fine for |Q| small; at 100 TB
-  the corpus scan is embarrassingly parallel and shuffle-free until the
-  final per-query top-k (tiny after a per-partition pre-top-k; Spark's
-  window + filter does the global cut).
+  per query with a SALTED TWO-LEVEL top-k (``_topk_per_query``): level 1
+  keeps each (query, salt) slice's top-k, level 2 ranks the ≤ salt·k
+  survivors — no reducer ever holds a query's full candidate set. Cost
+  O(|Q|·|C|) — fine for |Q| small; at 100 TB the corpus scan is
+  embarrassingly parallel and shuffle-free until that bounded cut. The
+  LSH/IVF paths share the same final cut.
 - **Random-hyperplane LSH buckets** — the scale path: ``planes`` sign bits
   from deterministic pseudo-random hyperplanes. Plane components derive from
   ``md5("pl<seed>:<plane>:<dim>")`` (the project's cross-engine hash
@@ -52,6 +54,34 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, salt_parts: int = 32
+) -> DataFrame:
+    """Salted two-level top-k: no reducer ever holds a query's full
+    candidate set. Level 1 ranks within ``(query_id, salt)`` — each query's
+    candidates spread over ``salt_parts`` reducers, each keeping only its
+    local top-k — so level 2's global rank runs over at most
+    ``salt_parts * k`` survivors per query. Output is IDENTICAL to a single
+    per-query window (the global top-k is contained in the union of the
+    per-salt top-ks); the salt is a deterministic hash of the neighbor id,
+    so results are stable across runs and partition layouts."""
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("neighbor_id").cast("string")),
+                   F.lit(salt_parts)),
+        )
+        .withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_salt", "_prn")
+    )
+
+
 def _norm(v: F.Column) -> F.Column:
     return F.sqrt(
         F.aggregate(
@@ -89,13 +119,7 @@ def cosine_topk_bruteforce(
          / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
          .otherwise(F.lit(1.0))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def plane_components(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -213,13 +237,7 @@ def cosine_topk_lsh(
          / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
          .otherwise(F.lit(1.0))).alias("cosine"),
     ).groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_centroids(
@@ -302,22 +320,47 @@ def ivf_assign(
     out_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign every row (unique ``id_col``) to its nearest centroid by
-    cosine (ties → lowest centroid id): one broadcast join + a per-id window
-    argmax. Adds ``out_col`` to ``df``."""
+    cosine (ties → lowest centroid id) with a ROW-LOCAL argmax: the (tiny)
+    centroid table is collected once and inlined as literal arrays, all k
+    cosines are computed inside one projection, and ``array_max`` over
+    ``(cosine, -centroid_id)`` structs picks the winner. Adds ``out_col``
+    to ``df``.
+
+    Scale shape: ZERO extra shuffle and no row blow-up — the previous plan
+    (``crossJoin(broadcast(centroids))`` + a ``row_number`` window
+    partitioned by id) materialized |corpus|×k rows and exchanged+sorted
+    all of them just to take a per-row argmax; at 100 TB with k=16 that is
+    a ~16× data expansion through a shuffle this version simply does not
+    have. Each centroid's norm folds over the SAME literal values the dot
+    product uses (identical float op order → bit-identical cosines to the
+    old plan and to the SQL oracle)."""
+    cents = sorted(
+        centroids.select("centroid_id", "cvec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not cents:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
     v = F.col(vec_col)
-    cos = (
-        _dot(v, F.col("cvec"))
-        / F.when(_norm(v) * _norm(F.col("cvec")) > 0,
-                 _norm(v) * _norm(F.col("cvec"))).otherwise(F.lit(1.0))
-    )
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_cos", cos)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*df.columns, F.col("centroid_id").cast("int").alias(out_col))
+    vn = _norm(v)
+    choices = []
+    for r in cents:
+        cvec = F.array(*[F.lit(float(x)) for x in r["cvec"]])
+        denom = vn * _norm(cvec)
+        cos = (
+            _dot(v, cvec)
+            / F.when(denom > 0, denom).otherwise(F.lit(1.0))
+        )
+        choices.append(
+            F.struct(
+                # NULL-vec rows keep the old window behavior (all-NULL
+                # scores → lowest centroid id) via a below-range sentinel
+                F.coalesce(cos, F.lit(-2.0)).alias("cos"),
+                F.lit(-int(r["centroid_id"])).alias("neg_id"),
+            )
+        )
+    best = F.array_max(F.array(*choices))
+    return df.withColumn(
+        out_col, (-best["neg_id"]).cast("int")
     )
 
 
@@ -381,13 +424,7 @@ def cosine_topk_ivf(
          / F.when(F.col("qn") * F.col("cn") > 0, F.col("qn") * F.col("cn"))
          .otherwise(F.lit(1.0))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dup_pairs(

@@ -142,6 +142,140 @@ def test_fdmine_runs_at_18_columns(spark):
     assert got == discover_fds(df, max_lhs=1)
 
 
+# ------------------------------------------- ANN plan-shape fixes (VERDICT)
+
+def _plan_text(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _vectors(spark, n=40, dim=8):
+    import math
+
+    rows = [
+        (i, [math.sin(i * (j + 1) * 0.7) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """VERDICT #2 — ivf_assign must not materialize |corpus|×k rows through
+    an Exchange+Sort: the row-local argmax plan has NO Exchange and NO
+    Window at all."""
+    from desbordante_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    vectors = _vectors(spark)
+    cents = ivf_centroids(vectors, "vec_id", k=4)
+    assigned = ivf_assign(vectors, cents, "vec_id")
+    plan = _plan_text(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # every row keeps exactly one assignment, ids within range
+    got = assigned.collect()
+    assert len(got) == 40
+    assert all(0 <= r["centroid_id"] < 4 for r in got)
+
+
+def test_ivf_assign_matches_window_argmax(spark):
+    """The literal-array argmax must agree with the reference per-id window
+    argmax (cosine desc, centroid_id asc on ties) bit-for-bit."""
+    from pyspark.sql import Window
+
+    from desbordante_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    vectors = _vectors(spark, n=60)
+    cents = ivf_centroids(vectors, "vec_id", k=5)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(vectors, cents, "vec_id").collect()
+    }
+    v = F.col("embedding")
+    cos = (
+        _dot(v, F.col("cvec"))
+        / F.when(_norm(v) * _norm(F.col("cvec")) > 0,
+                 _norm(v) * _norm(F.col("cvec"))).otherwise(F.lit(1.0))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in (
+            vectors.crossJoin(F.broadcast(cents))
+            .withColumn("_cos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_topk_two_level_cut_and_equivalence(spark):
+    """VERDICT #3 — the per-query top-k runs as a salted two-level cut (two
+    Window nodes in the plan, the first partitioned by (query_id, _salt))
+    and yields exactly the single-window result."""
+    from pyspark.sql import Window
+
+    from desbordante_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    vectors = _vectors(spark, n=50)
+    queries = vectors.limit(3)
+    out = cosine_topk_bruteforce(
+        queries, vectors, "vec_id", "vec_id", k=5
+    )
+    plan = _plan_text(out)
+    assert plan.count("Window") >= 2, plan
+    assert "_salt" in plan, plan
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in out.collect()
+    }
+    # reference single-window cut
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+    c = vectors.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("cv"))
+    from desbordante_spark.operators.similarity import _dot, _norm
+
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / F.when(_norm(F.col("qv")) * _norm(F.col("cv")) > 0,
+                      _norm(F.col("qv")) * _norm(F.col("cv")))
+             .otherwise(F.lit(1.0))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5).collect()
+    }
+    assert got == want
+
+
 # ----------------------------------- combined driver entries stay coherent
 
 def test_combined_driver_entries_match_components(spark):
