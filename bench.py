@@ -101,14 +101,18 @@ def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
     # warmup once (JIT/codegen, page cache), then min-of-k timed runs: the
     # sandbox host shows large intermittent stalls (observed 5-10x outliers
     # on identical inputs), so a single-shot timing measures host noise, not
-    # the plan; min-of-k measures steady-state capability
+    # the plan; min-of-k measures steady-state capability. Reps are
+    # INTERLEAVED across the suite (pass-major, not query-major): a
+    # multi-second host stall spans CONSECUTIVE wall-clock — with a query's
+    # reps separated by a full suite pass, it can pollute at most one rep
+    # of each query it touches, and the min discards it.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
-    for name, build in stages:
-        if warmup:
+    if warmup:
+        for _name, build in stages:
             _force(build())
-        best = float("inf")
-        for _ in range(max(1, reps)):
+    for _rep in range(max(1, reps)):
+        for name, build in stages:
             # drop cached intermediates (the drift sketch caches itself) so
             # every rep pays the full per-CALL cost — Spark's CacheManager
             # matches identical plans across reps, and a rep that reuses the
@@ -116,8 +120,8 @@ def bench_doc_suite(spark, n_docs: int) -> tuple[float, dict[str, float]]:
             spark.catalog.clearCache()
             t = time.monotonic()
             _force(build())
-            best = min(best, time.monotonic() - t)
-        timings[name] = best
+            dt = time.monotonic() - t
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     suite_sec = sum(v for k, v in timings.items() if k != "docs_generate")
     if own_stage:
@@ -196,23 +200,27 @@ def main() -> None:
         "l_returnflag"
     ).count().collect()
 
-    # headline queries: same warmup + min-of-k discipline as the doc suite —
-    # single-shot timings on this host measure stall luck, not the plan
+    # headline queries: same warmup + INTERLEAVED min-of-k discipline as the
+    # doc suite — single-shot timings on this host measure stall luck, not
+    # the plan, and consecutive reps share a stall; pass-major interleaving
+    # separates a query's reps by a full suite pass so the min discards any
+    # single stall
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if warmup:
+    if warmup:
+        for name in HEADLINE:
             _force(qs[name](spark, SF_DIR))
-        best = float("inf")
-        for _ in range(max(1, reps)):
+    for _rep in range(max(1, reps)):
+        for name in HEADLINE:
             # per-rep cache honesty (see bench_doc_suite): self-caching
             # plans (the drift sketch) must not reuse a previous rep's data
             spark.catalog.clearCache()
             t = time.monotonic()
             _force(qs[name](spark, SF_DIR))
-            best = min(best, time.monotonic() - t)
-        timings[name] = round(best, 3)
+            dt = time.monotonic() - t
+            timings[name] = min(timings.get(name, float("inf")), dt)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     headline_sec = sum(timings.values())
     suite_sec, doc_timings = bench_doc_suite(spark, N_BENCH_DOCS)

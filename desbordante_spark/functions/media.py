@@ -2,26 +2,35 @@
 
 Training-data pipeline mandate: treat media as opaque ``binary`` columns
 with typed metadata; decode / feature-extract / resize / frame-sample as
-Arrow-batched ``mapInPandas`` operators. The image/audio codec libraries are
-NOT in this container, so the decode kernels are STUBBED — clearly marked —
-behind ``use_stub``: the Spark-side plumbing (schemas, batch iteration,
-partitioning) is real and tested; swapping in a real decoder is a one-
-function change inside the pandas iterator.
+Arrow-batched ``mapInPandas`` operators.
 
-Stub semantics (deterministic, so tests can pin values): "decoding" derives
-metadata and a fixed-length feature vector from the md5 of the payload
-bytes. With ``use_stub=False`` the kernels raise ``NotImplementedError``
-until a codec (PIL / torchaudio / decord) is wired in.
+Decode kernels come in two tiers:
+
+- **Real stdlib decoders** (``use_stub=False``): Netpbm images (P1-P6 PPM/
+  PGM/PBM headers — plain-text magic + dimensions) and RIFF/WAVE audio
+  (``struct``-unpacked ``fmt ``/``data`` chunks → sample rate, channels,
+  duration). These formats are fully specified by public documentation and
+  need no codec library; any other payload raises ``NotImplementedError``
+  (JPEG/PNG/MP4 decode requires PIL/torchaudio/decord, which are not in
+  this container).
+- **Deterministic stub** (``use_stub=True``, default for fixture
+  pipelines): metadata and a fixed-length feature vector derive from the
+  md5 of the payload bytes, so tests can pin values without any real
+  media. The Spark-side plumbing (schemas, Arrow batch iteration,
+  partitioning) is identical in both tiers.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 from pyspark.sql import DataFrame
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "decode_ppm_header",
+    "decode_wav_header",
     "decode_media_metadata",
     "extract_media_features",
     "sample_video_frames",
@@ -41,6 +50,84 @@ def _stub_meta(ref: str, kind: str, payload: bytes):
     return width, height, duration
 
 
+def decode_ppm_header(data: bytes) -> tuple[int, int]:
+    """Parse a Netpbm (P1-P6) header → ``(width, height)``. Pure stdlib:
+    the header is ASCII — magic, optional ``#`` comments, then width and
+    height tokens separated by whitespace. Raises ``ValueError`` on
+    anything that is not a well-formed Netpbm header."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("not a Netpbm payload")
+    # tokenize the ASCII header, dropping '#'-to-EOL comments
+    tokens: list[bytes] = []
+    i = 2
+    n = len(data)
+    while len(tokens) < 2 and i < n:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < n and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    if len(tokens) < 2:
+        raise ValueError("truncated Netpbm header")
+    try:
+        width, height = int(tokens[0]), int(tokens[1])
+    except ValueError as exc:
+        raise ValueError("malformed Netpbm dimensions") from exc
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive Netpbm dimensions")
+    return width, height
+
+
+def decode_wav_header(data: bytes) -> tuple[int, int, int]:
+    """Parse a RIFF/WAVE header → ``(sample_rate, channels, duration_ms)``.
+    Walks the chunk list with ``struct``: ``fmt `` gives channels + sample
+    rate + byte rate, ``data`` gives the payload size; duration is
+    ``data_size / byte_rate``. Raises ``ValueError`` on non-WAV input."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sample_rate = channels = byte_rate = None
+    data_size = None
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= n:
+            (_fmt, channels, sample_rate, byte_rate,
+             _align, _bits) = struct.unpack_from("<HHIIHH", data, body)
+        elif cid == b"data":
+            data_size = min(csize, n - body)
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if not sample_rate or not channels or not byte_rate or data_size is None:
+        raise ValueError("missing fmt/data chunk in WAVE payload")
+    duration_ms = data_size * 1000 // byte_rate
+    return int(sample_rate), int(channels), int(duration_ms)
+
+
+def _real_meta(ref: str, kind: str, payload: bytes):
+    """Real stdlib decode: Netpbm → (w, h, 0); WAVE → (0, 0, duration).
+    Unknown formats raise NotImplementedError — honest partiality, the
+    compressed formats need codec libraries this container lacks."""
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
+        w, h = decode_ppm_header(payload)
+        return w, h, 0
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _rate, _ch, duration_ms = decode_wav_header(payload)
+        return 0, 0, duration_ms
+    raise NotImplementedError(
+        f"no stdlib decoder for media_ref={ref!r} kind={kind!r}: only "
+        "Netpbm (P1-P6) and RIFF/WAVE decode without codec libraries; "
+        "wire PIL/torchaudio here for compressed formats"
+    )
+
+
 def decode_media_metadata(
     df: DataFrame,
     ref_col: str = "media_ref",
@@ -49,7 +136,10 @@ def decode_media_metadata(
     use_stub: bool = True,
 ) -> DataFrame:
     """Per-media metadata via ``mapInPandas`` (Arrow batches; one Python
-    worker per partition, no per-row overhead)."""
+    worker per partition, no per-row overhead). ``use_stub=False`` decodes
+    for real with the stdlib Netpbm/WAVE parsers (see ``_real_meta``);
+    the default stub derives deterministic metadata from the payload md5
+    for fixture pipelines."""
 
     def op(batches):
         import pandas as pd
@@ -62,11 +152,8 @@ def decode_media_metadata(
                 data = bytes(payload) if payload is not None else b""
                 if use_stub:
                     w, h, d = _stub_meta(ref, kind, data)
-                else:  # pragma: no cover - codec not present in container
-                    raise NotImplementedError(
-                        "real media decode requires PIL/torchaudio; "
-                        "wire it here"
-                    )
+                else:
+                    w, h, d = _real_meta(ref, kind, data)
                 rows.append((ref, kind, len(data), w, h, d))
             yield pd.DataFrame(
                 rows,
