@@ -32,9 +32,9 @@ def _stage_batches(tmp_path, name, batches):
     return src
 
 
-def _run_stream(spark, src, build, name, mode):
+def _run_stream(spark, src, build, name, mode, schema=SCHEMA):
     stream = (
-        spark.readStream.schema(SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
@@ -118,6 +118,164 @@ def test_streaming_dedup_equals_batch_union(spark, tmp_path):
     batch_dupes = {r["doc_id"]: r["cnt"] for r in viol.collect()}
     assert final_cnt == batch_dupes
     assert final_cnt == {k: n for k, n in batch_counts.items() if n > 1}
+
+
+def test_streaming_referential_equals_batch_union(spark, tmp_path):
+    """Union of all streamed referential alerts == the batch anti-join
+    (ind_missing_values) on the union of micro-batches: same missing keys,
+    same per-key row support."""
+    from desbordante_spark.operators.ind import ind_missing_values
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_referential_alerts,
+    )
+
+    batches = [
+        [
+            {"doc_id": "m1", "ts": "2026-01-01T00:00:00", "v": 1.0},
+            {"doc_id": "mX", "ts": "2026-01-01T00:00:01", "v": 2.0},
+            {"doc_id": None, "ts": "2026-01-01T00:00:02", "v": 3.0},
+        ],
+        [
+            {"doc_id": "m2", "ts": "2026-01-01T00:10:00", "v": 4.0},
+            {"doc_id": "mX", "ts": "2026-01-01T00:10:01", "v": 5.0},
+            {"doc_id": "mY", "ts": "2026-01-01T00:10:02", "v": 6.0},
+        ],
+    ]
+    src = _stage_batches(tmp_path, "ref_eq", batches)
+    dim = spark.createDataFrame(
+        [("m1",), ("m2",), ("m3",)], "media_ref string"
+    )
+
+    alerts = _run_stream(
+        spark, src,
+        lambda s: streaming_referential_alerts(
+            s, ["doc_id"], dim, ["media_ref"]
+        ),
+        "ref_eq_alerts", "append",
+    ).collect()
+    stream_missing: dict[str, int] = {}
+    for r in alerts:
+        stream_missing[r["doc_id"]] = stream_missing.get(r["doc_id"], 0) + 1
+
+    union = spark.read.schema(SCHEMA).json(str(src))
+    batch_missing = {
+        r["doc_id"]: r["ref_count"]
+        for r in ind_missing_values(
+            union, ["doc_id"], dim, ["media_ref"]
+        ).collect()
+    }
+    assert stream_missing == batch_missing
+    assert stream_missing == {"mX": 2, "mY": 1}  # NULL FK skipped both sides
+
+
+SPAN_SCHEMA = (
+    "doc_id string, ts timestamp, spans array<struct<kind:string,"
+    "text:string,media_ref:string,offset:int>>"
+)
+
+
+def test_streaming_span_invariant_equals_batch_union(spark, tmp_path):
+    """The span invariant is stateless/row-local: the union of streamed
+    violation rows must equal the batch operator's on the unioned input,
+    reason-for-reason."""
+    from desbordante_spark.operators.span_invariant import (
+        span_wellformed_violations,
+    )
+    from desbordante_spark.streaming.stream_verify import (
+        streaming_span_invariant,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    batches = [
+        [
+            {"doc_id": "ok1", "ts": "2026-01-01T00:00:00",
+             "spans": [span("text", "hi", None, 0),
+                       span("image", "", "m1", 1)]},
+            {"doc_id": "bad_offset", "ts": "2026-01-01T00:00:01",
+             "spans": [span("text", "a", None, 1)]},
+        ],
+        [
+            {"doc_id": "bad_kind_and_ref", "ts": "2026-01-01T00:10:00",
+             "spans": [span("gif", "", None, 0)]},
+            {"doc_id": "bad_text", "ts": "2026-01-01T00:10:01",
+             "spans": [span("text", "", None, 0)]},
+        ],
+    ]
+    src = _stage_batches(tmp_path, "span_eq", batches)
+
+    streamed = {
+        r["doc_id"]: sorted(r["reasons"])
+        for r in _run_stream(
+            spark, src,
+            lambda s: streaming_span_invariant(s),
+            "span_eq_alerts", "append",
+            schema=SPAN_SCHEMA,
+        ).collect()
+    }
+    union = spark.read.schema(SPAN_SCHEMA).json(str(src))
+    batch = {
+        r["doc_id"]: sorted(r["reasons"])
+        for r in span_wellformed_violations(union).collect()
+    }
+    assert streamed == batch
+    assert set(streamed) == {"bad_offset", "bad_kind_and_ref", "bad_text"}
+    assert "ok1" not in streamed
+
+
+def test_streaming_profile_equals_batch_union(spark, tmp_path):
+    """Finalized streaming profile windows == the same windowed aggregate
+    on the union (count/nulls/min/max/avg and the HLL distinct — register
+    merges are order-independent, so incremental == batch)."""
+    from desbordante_spark.streaming.stream_verify import streaming_profile
+
+    batches = [
+        [{"doc_id": f"a{i}", "ts": f"2026-01-01T00:00:{i:02d}",
+          "v": float(i % 5) if i % 7 else None} for i in range(20)],
+        [{"doc_id": f"b{i}", "ts": f"2026-01-01T00:01:{i:02d}",
+          "v": 10.0 + i % 3} for i in range(12)],
+        # flush batch: advances the watermark so windows 1-2 finalize
+        [{"doc_id": "late", "ts": "2026-01-01T01:00:00", "v": 1.0}],
+    ]
+    src = _stage_batches(tmp_path, "prof_eq", batches)
+
+    streamed_rows = _run_stream(
+        spark, src,
+        lambda s: streaming_profile(
+            s, "v", "ts", window="1 minute", watermark="5 seconds"
+        ),
+        "prof_eq_out", "append",
+    ).collect()
+    streamed = {
+        str(r["window"]["start"]): (
+            r["count_values"], r["null_count"], r["min_value"],
+            r["max_value"], round(r["avg_value"], 9), r["approx_distinct"],
+        )
+        for r in streamed_rows
+    }
+
+    union = spark.read.schema(SCHEMA).json(str(src))
+    finalized = union.filter(F.col("ts") < "2026-01-01T00:02:00")
+    v = F.col("v")
+    batch = {
+        str(r["window"]["start"]): (
+            r["count_values"], r["null_count"], r["min_value"],
+            r["max_value"], round(r["avg_value"], 9), r["approx_distinct"],
+        )
+        for r in finalized.groupBy(
+            F.window(F.col("ts"), "1 minute").alias("window")
+        ).agg(
+            F.count(v).alias("count_values"),
+            F.sum(v.isNull().cast("long")).alias("null_count"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.avg(v.cast("double")).alias("avg_value"),
+            F.approx_count_distinct(v).alias("approx_distinct"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 2  # both data windows finalized
 
 
 def test_streaming_drift_equals_batch_union(spark, tmp_path):
