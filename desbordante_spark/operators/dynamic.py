@@ -34,6 +34,11 @@ __all__ = [
     "fd_metrics_from_state",
     "ucc_state_init",
     "ucc_metrics_from_state",
+    "fd_totals_from_state",
+    "fd_apply_incremental",
+    "ucc_totals_from_state",
+    "ucc_apply_incremental",
+    "metrics_row_from_totals",
 ]
 
 
@@ -126,6 +131,172 @@ def fd_metrics_from_state(
         .select(*by, "total_rows", "num_violating_clusters",
                 "num_violating_rows", "error", "holds")
     )
+
+
+def _fd_lvl2(state: DataFrame, lhs: list) -> DataFrame:
+    """Per-LHS-cluster stats from the count state."""
+    return state.groupBy(*lhs).agg(
+        F.sum("cnt").alias("cluster_size"),
+        F.count(F.lit(1)).alias("num_distinct_rhs"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("eq_pairs2x"),
+    )
+
+
+def _fd_contrib(lvl2: DataFrame) -> dict[str, int]:
+    """Fold per-cluster stats into the four verdict scalars (exact longs)."""
+    viol = F.col("num_distinct_rhs") > 1
+    row = lvl2.agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("total_rows"),
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .alias("num_violating_clusters"),
+        F.coalesce(F.sum(F.when(viol, F.col("cluster_size")).otherwise(0)),
+                   F.lit(0)).alias("num_violating_rows"),
+        F.coalesce(
+            F.sum(F.col("cluster_size") * (F.col("cluster_size") - 1)
+                  - F.col("eq_pairs2x")),
+            F.lit(0),
+        ).alias("conflicts"),
+    ).collect()[0]
+    return {k: int(row[k]) for k in (
+        "total_rows", "num_violating_clusters", "num_violating_rows",
+        "conflicts",
+    )}
+
+
+def fd_totals_from_state(state: DataFrame, lhs: Sequence[str]) -> dict[str, int]:
+    """One-off fold of the FULL state into the carried verdict scalars —
+    paid once at state init; every snapshot delta after that adjusts these
+    totals from touched clusters only (``fd_apply_incremental``)."""
+    return _fd_contrib(_fd_lvl2(state, list(as_cols(lhs))))
+
+
+def fd_apply_incremental(
+    state: DataFrame,
+    lhs: Sequence[str],
+    rhs: Sequence[str],
+    totals: dict[str, int],
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Snapshot-to-snapshot incremental FD verify (SURVEY §1.1.8): apply a
+    CRUD delta and update the verdict scalars by recomputing ONLY the LHS
+    clusters the delta touches. Returns ``(new_state, new_totals)``; feed
+    ``new_totals`` to ``metrics_row_from_totals`` for the verdict row.
+
+    Work is proportional to the delta, not the table: the touched-LHS set
+    (distinct LHS values in the delta — small) broadcasts into one
+    semi/anti-join pass over the state; untouched clusters' contributions
+    carry over inside ``totals`` and are never re-aggregated. Equivalence
+    with full recompute is exact — the per-cluster stats are integer
+    sufficient statistics, so subtract-old-add-new is lossless
+    (bit-for-bit gate in tests/test_round6.py)."""
+    lhs = list(as_cols(lhs))
+    rhs = list(as_cols(rhs))
+    key_cols = [*lhs, *rhs]
+    deltas = [d for d in (inserts, deletes) if d is not None]
+    if not deltas:
+        return state, dict(totals)
+    touched = deltas[0].select(*lhs)
+    for d in deltas[1:]:
+        touched = touched.unionByName(d.select(*lhs))
+    touched = touched.distinct()
+    # ONE pass over the state per delta: the touched slice is delta-sized —
+    # pin it eagerly so the old-contribution fold, the re-aggregation, and
+    # the new-contribution fold all run off the materialized slice instead
+    # of re-scanning the state three times
+    old_touched = state.join(
+        F.broadcast(touched), lhs, "left_semi"
+    ).localCheckpoint(eager=True)
+    old_contrib = _fd_contrib(_fd_lvl2(old_touched, lhs))
+    new_touched = state_apply(
+        old_touched, key_cols, inserts, deletes
+    ).localCheckpoint(eager=True)
+    new_contrib = _fd_contrib(_fd_lvl2(new_touched, lhs))
+    new_totals = {
+        k: totals[k] - old_contrib[k] + new_contrib[k] for k in totals
+    }
+    new_state = state.join(F.broadcast(touched), lhs, "left_anti").unionByName(
+        new_touched
+    )
+    return new_state, new_totals
+
+
+def ucc_totals_from_state(state: DataFrame) -> dict[str, int]:
+    """Fold the UCC key-count state into carried verdict scalars."""
+    viol = F.col("cnt") > 1
+    row = state.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("total_rows"),
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .alias("num_violating_clusters"),
+        F.coalesce(F.sum(F.when(viol, F.col("cnt")).otherwise(0)), F.lit(0))
+        .alias("num_violating_rows"),
+        F.coalesce(F.sum(F.col("cnt") * (F.col("cnt") - 1)), F.lit(0))
+        .alias("conflicts"),
+    ).collect()[0]
+    return {k: int(row[k]) for k in (
+        "total_rows", "num_violating_clusters", "num_violating_rows",
+        "conflicts",
+    )}
+
+
+def ucc_apply_incremental(
+    state: DataFrame,
+    columns: Sequence[str],
+    totals: dict[str, int],
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Snapshot-delta incremental UCC verify — the uniqueness analog of
+    ``fd_apply_incremental`` (touched keys only; totals carried)."""
+    columns = list(as_cols(columns))
+    deltas = [d for d in (inserts, deletes) if d is not None]
+    if not deltas:
+        return state, dict(totals)
+    touched = deltas[0].select(*columns)
+    for d in deltas[1:]:
+        touched = touched.unionByName(d.select(*columns))
+    touched = touched.distinct()
+    # one state pass per delta (see fd_apply_incremental)
+    old_touched = state.join(
+        F.broadcast(touched), columns, "left_semi"
+    ).localCheckpoint(eager=True)
+    old_contrib = ucc_totals_from_state(old_touched)
+    new_touched = state_apply(
+        old_touched, columns, inserts, deletes
+    ).localCheckpoint(eager=True)
+    new_contrib = ucc_totals_from_state(new_touched)
+    new_totals = {
+        k: totals[k] - old_contrib[k] + new_contrib[k] for k in totals
+    }
+    new_state = state.join(
+        F.broadcast(touched), columns, "left_anti"
+    ).unionByName(new_touched)
+    return new_state, new_totals
+
+
+def metrics_row_from_totals(
+    totals: dict[str, int],
+    error_threshold: float = 0.0,
+) -> dict:
+    """Verdict row from carried scalars — the same formulas as
+    ``fd_metrics_from_state`` / ``ucc_metrics_from_state`` (IEEE-identical:
+    same integer inputs, same double division)."""
+    n = totals["total_rows"]
+    err = (
+        totals["conflicts"] / float(n * n - n) if n > 1 else 0.0
+    )
+    holds = (
+        int(err <= error_threshold)
+        if error_threshold > 0
+        else int(totals["num_violating_clusters"] == 0)
+    )
+    return {
+        "total_rows": n,
+        "num_violating_clusters": totals["num_violating_clusters"],
+        "num_violating_rows": totals["num_violating_rows"],
+        "error": err,
+        "holds": holds,
+    }
 
 
 def ucc_metrics_from_state(

@@ -29,6 +29,8 @@ __all__ = [
     "current_snapshot_id",
     "read_snapshot",
     "read_incremental",
+    "snapshot_incremental_fd_verify",
+    "snapshot_incremental_ucc_verify",
 ]
 
 
@@ -94,3 +96,56 @@ def read_incremental(
     if end_snapshot_id is not None:
         reader = reader.option("end-snapshot-id", str(end_snapshot_id))
     return reader.load(table)
+
+
+def snapshot_incremental_fd_verify(
+    spark: SparkSession,
+    table: str,
+    lhs,
+    rhs,
+    state: DataFrame,
+    totals: dict,
+    start_snapshot_id: str,
+    end_snapshot_id: str | None = None,
+):
+    """Snapshot-to-snapshot incremental FD verify (SURVEY §1.1.8): the
+    append-only delta between two Iceberg snapshots feeds the
+    touched-LHS-only verdict update. Returns ``(new_state, new_totals,
+    metrics_row)`` — pass the returned state/totals (plus the new snapshot
+    id) to the next call; cost per snapshot is proportional to the delta,
+    not the table (benchmarked in tools/incremental_bench.py against full
+    recompute; equivalence gated in tests/test_round6.py over parquet
+    stand-ins since this container ships no Iceberg jars)."""
+    from desbordante_spark.operators.dynamic import (
+        fd_apply_incremental,
+        metrics_row_from_totals,
+    )
+
+    delta = read_incremental(spark, table, start_snapshot_id, end_snapshot_id)
+    new_state, new_totals = fd_apply_incremental(
+        state, lhs, rhs, totals, inserts=delta
+    )
+    return new_state, new_totals, metrics_row_from_totals(new_totals)
+
+
+def snapshot_incremental_ucc_verify(
+    spark: SparkSession,
+    table: str,
+    columns,
+    state: DataFrame,
+    totals: dict,
+    start_snapshot_id: str,
+    end_snapshot_id: str | None = None,
+):
+    """Uniqueness analog of ``snapshot_incremental_fd_verify`` (the
+    north-rule doc_id check as a snapshot-delta update)."""
+    from desbordante_spark.operators.dynamic import (
+        metrics_row_from_totals,
+        ucc_apply_incremental,
+    )
+
+    delta = read_incremental(spark, table, start_snapshot_id, end_snapshot_id)
+    new_state, new_totals = ucc_apply_incremental(
+        state, columns, totals, inserts=delta
+    )
+    return new_state, new_totals, metrics_row_from_totals(new_totals)

@@ -365,6 +365,101 @@ def test_media_metadata_real_decode_unknown_format_raises(spark):
     assert "no stdlib decoder" in str(ei.value)
 
 
+# ----------------------- snapshot-delta incremental verify ≡ full recompute
+
+def test_incremental_fd_verify_equals_full_recompute(spark):
+    """VERDICT #8 — fd_apply_incremental (touched-LHS-only updates with
+    carried totals) must match a from-scratch state build + full metric
+    rollup bit-for-bit across a sequence of insert/delete snapshot deltas."""
+    from desbordante_spark.operators.dynamic import (
+        fd_apply_incremental,
+        fd_metrics_from_state,
+        fd_state_init,
+        fd_totals_from_state,
+        metrics_row_from_totals,
+    )
+
+    lhs, rhs = ["k"], ["v"]
+    base_rows = [(i, f"k{i % 7}", f"v{i % 7}") for i in range(60)]
+    base = spark.createDataFrame(base_rows, "rid int, k string, v string")
+    state = fd_state_init(base, lhs, rhs).localCheckpoint(eager=True)
+    totals = fd_totals_from_state(state, lhs)
+
+    # batch 1: inserts that dirty two clusters; batch 2: deletes that clean
+    # one and shrink another; batch 3: mixed upsert (delete old + insert new)
+    batches = [
+        ([("x", "k1", "DIRTY"), ("y", "k2", "DIRTY"), ("z", "k9", "v9")],
+         []),
+        ([], [("x", "k1", "DIRTY"), ("a", "k3", "v3")]),
+        ([("u", "k2", "v2")], [("y", "k2", "DIRTY")]),
+    ]
+    # logical multiset of (k, v) pairs — rid is not part of the state
+    cur_kv = [(k, v) for _rid, k, v in base_rows]
+    for ins_rows, del_rows in batches:
+        ins = (
+            spark.createDataFrame(ins_rows, "rid string, k string, v string")
+            if ins_rows else None
+        )
+        dele = (
+            spark.createDataFrame(del_rows, "rid string, k string, v string")
+            if del_rows else None
+        )
+        state, totals = fd_apply_incremental(
+            state, lhs, rhs, totals, inserts=ins, deletes=dele
+        )
+        state = state.localCheckpoint(eager=True)
+        got = metrics_row_from_totals(totals)
+
+        # full recompute on the logical current table
+        cur_kv.extend((k, v) for _rid, k, v in ins_rows)
+        for _rid, k, v in del_rows:
+            cur_kv.remove((k, v))
+        cur = spark.createDataFrame(cur_kv, "k string, v string")
+        full_state = fd_state_init(cur, lhs, rhs)
+        want = fd_metrics_from_state(full_state, lhs).collect()[0].asDict()
+        assert got == want, (got, want)
+        # state equivalence, not just verdict equivalence
+        assert sorted(map(tuple, state.collect())) == sorted(
+            map(tuple, full_state.collect())
+        )
+
+
+def test_incremental_ucc_verify_equals_full_recompute(spark):
+    from desbordante_spark.operators.dynamic import (
+        metrics_row_from_totals,
+        ucc_metrics_from_state,
+        ucc_state_init,
+        ucc_apply_incremental,
+        ucc_totals_from_state,
+    )
+
+    base = spark.createDataFrame(
+        [(f"d{i}",) for i in range(50)] + [("d1",)], "doc_id string"
+    )
+    state = ucc_state_init(base, ["doc_id"]).localCheckpoint(eager=True)
+    totals = ucc_totals_from_state(state)
+
+    ins = spark.createDataFrame([("d2",), ("dNEW",)], "doc_id string")
+    dele = spark.createDataFrame([("d1",)], "doc_id string")
+    state, totals = ucc_apply_incremental(
+        state, ["doc_id"], totals, inserts=ins, deletes=dele
+    )
+    got = metrics_row_from_totals(totals)
+
+    cur = spark.createDataFrame(
+        [(f"d{i}",) for i in range(50)] + [("d2",), ("dNEW",)],
+        "doc_id string",
+    )
+    want = (
+        ucc_metrics_from_state(ucc_state_init(cur, ["doc_id"]))
+        .collect()[0].asDict()
+    )
+    assert got == want
+    # d2 is now the only duplicate
+    assert got["num_violating_clusters"] == 1
+    assert got["num_violating_rows"] == 2
+
+
 # ----------------------------------- combined driver entries stay coherent
 
 def test_combined_driver_entries_match_components(spark):
