@@ -879,6 +879,42 @@ def _q_dynamic_fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_metrics_from_state(st, lhs)
 
 
+def _q_dynamic_fd_incremental_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # round-6 snapshot-delta path: the SAME CRUD scenario as
+    # dynamic_fd_orders, but the verdict comes from fd_apply_incremental —
+    # touched-LHS-only re-aggregation with carried totals
+    # (operators/dynamic.py) — so it shares dynamic_fd_orders' oracle
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.dynamic import (
+        fd_apply_incremental,
+        fd_state_init,
+        fd_totals_from_state,
+        metrics_row_from_totals,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    base = orders.filter(okey % 3 != 0)
+    inserts = orders.filter((okey % 3 == 0) & (okey % 2 == 0))
+    deletes = base.filter(okey % 5 == 0)
+    lhs, rhs = ["o_custkey"], ["o_orderpriority"]
+    st = fd_state_init(base, lhs, rhs).localCheckpoint(eager=True)
+    totals = fd_totals_from_state(st, lhs)
+    _st, totals = fd_apply_incremental(
+        st, lhs, rhs, totals, inserts=inserts, deletes=deletes
+    )
+    m = metrics_row_from_totals(totals)
+    return spark.createDataFrame(
+        [(m["total_rows"], m["num_violating_clusters"],
+          m["num_violating_rows"], m["error"], m["holds"])],
+        "total_rows bigint, num_violating_clusters bigint,"
+        " num_violating_rows bigint, error double, holds int",
+    )
+
+
 def _q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1351,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucc_discovery_orders": _q_ucc_discovery_orders,
         "ucc_discovery_hybrid_orders": _q_ucc_discovery_hybrid_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
+        "dynamic_fd_incremental_orders": _q_dynamic_fd_incremental_orders,
     }
 
 
@@ -2397,6 +2434,15 @@ SELECT 'l_extendedprice',
 FROM lineitem
 """,
         "dynamic_fd_orders": _FD_METRICS_SQL.format(
+            lhs="o_custkey", rhs="o_orderpriority",
+            table=(
+                "(SELECT * FROM orders WHERE (o_orderkey % 3 <> 0 AND "
+                "o_orderkey % 5 <> 0) OR (o_orderkey % 3 = 0 AND "
+                "o_orderkey % 2 = 0)) dyn"
+            ),
+            holds_cond="num_violating_clusters = 0",
+        ),
+        "dynamic_fd_incremental_orders": _FD_METRICS_SQL.format(
             lhs="o_custkey", rhs="o_orderpriority",
             table=(
                 "(SELECT * FROM orders WHERE (o_orderkey % 3 <> 0 AND "
