@@ -501,16 +501,27 @@ _AUCC_MAX_ERR = 0.005
 
 
 def _q_aucc_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PyroUCC-style AUCC miner (discovery/aucc.py): minimal column sets with
-    # equal-pair error <= 0.005, levelwise, one batched job per level
-    from desbordante_spark.discovery.aucc import discover_auccs
-
-    auccs = discover_auccs(
-        _read(spark, sf_dir, "orders").select(*_AUCC_COLS),
-        max_size=2, max_error=_AUCC_MAX_ERR,
+    # One driver row covering BOTH AUCC miners: levelwise enumeration and
+    # the faithful PyroUCC traversal (discovery/aucc.py — pyroucc.cpp's
+    # single SearchSpace with KeyG1Strategy). Every classification in the
+    # traversal is an exact score, so both emit the identical minimal-AUCC
+    # set with identical exact errors. Emits (algorithm, aucc, error).
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
     )
+
+    df = _read(spark, sf_dir, "orders").select(*_AUCC_COLS)
+    rows = [
+        (name, ",".join(s), e)
+        for name, fn in (
+            ("levelwise", discover_auccs),
+            ("pyro", discover_auccs_pyro),
+        )
+        for s, e in fn(df, max_size=2, max_error=_AUCC_MAX_ERR)
+    ]
     return spark.createDataFrame(
-        [(",".join(s), e) for s, e in auccs], "aucc string, error double"
+        rows, "algorithm string, aucc string, error double"
     )
 
 
@@ -2825,7 +2836,12 @@ FROM m
 """,
         "ind_discovery_nary_approx": _nary_ind_oracle(),
         "fd_discovery_hybrid_orders": _fd_minimal_oracle(),
-        "aucc_discovery_orders": _aucc_discovery_oracle(),
+        "aucc_discovery_orders": (
+            "SELECT a.algorithm, u.aucc, u.error FROM ("
+            "SELECT 'levelwise' AS algorithm"
+            " UNION ALL SELECT 'pyro' AS algorithm"
+            ") a CROSS JOIN (" + _aucc_discovery_oracle() + ") u"
+        ),
         "afd_discovery_sampled_orders": _afd_discovery_oracle(0.3),
         "afd_discovery_pyro_orders": _afd_discovery_oracle(0.3),
         "fd_discovery_fdep_orders": _fd_minimal_oracle(),

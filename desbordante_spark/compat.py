@@ -357,7 +357,28 @@ class _ucc:
                 return discover_uccs_hybrid(df, max_size=k)
 
         class PyroUCC(_UccMiner):
-            pass
+            """The faithful estimate-guided traversal (discovery/aucc.py::
+            discover_auccs_pyro — pyroucc.cpp:18-58 runs ONE Pyro
+            SearchSpace with a KeyG1Strategy target). Honors
+            ``execute(error=...)`` like the reference's kErrorOpt
+            (config/error/option.cpp:9, default 0.0 → exact UCCs)."""
+
+            def execute(self, max_lhs: int | None = None, **_kw):
+                from desbordante_spark.discovery.aucc import (
+                    discover_auccs_pyro,
+                )
+
+                k = max_lhs if max_lhs is not None else min(
+                    _DEFAULT_MAX_LHS, len(self._cols)
+                )
+                err = float(_kw.get("error", 0.0))
+                self._uccs = [
+                    s for s, _e in discover_auccs_pyro(
+                        self._df.select(*self._cols),
+                        max_size=k, max_error=err,
+                    )
+                ]
+                return self
 
         Default = HyUCC
 

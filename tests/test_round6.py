@@ -521,3 +521,123 @@ def test_combined_driver_entries_match_components(spark):
         "cfd_discovery_orders",
     ):
         assert must in first50, must
+
+
+# --------------------------- faithful PyroUCC traversal (last standin closed)
+
+def test_aucc_pyro_equals_levelwise_crafted(spark):
+    """The estimate-guided traversal (discover_auccs_pyro — pyroucc.cpp's
+    single SearchSpace with KeyG1Strategy) must emit the IDENTICAL
+    minimal-AUCC set with identical exact errors as the levelwise miner,
+    at every threshold and arity cap."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
+    )
+
+    rows = [("a", "x", 1), ("a", "x", 2), ("b", "y", 1), ("b", "z", 2),
+            ("c", "z", 3), ("c", "z", 3), (None, None, None)]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, c3 int")
+    for max_error in (0.0, 0.05, 0.1, 0.3, 1.0):
+        for max_size in (1, 2, 3):
+            a = discover_auccs(df, max_size=max_size, max_error=max_error)
+            b = discover_auccs_pyro(
+                df, max_size=max_size, max_error=max_error
+            )
+            assert a == b, (max_error, max_size, a, b)
+
+
+def test_aucc_pyro_equals_levelwise_orders(spark):
+    """Equivalence on real data (sf0.001 orders) across thresholds, plus
+    the node-visit evidence: the traversal exact-scores FEWER nodes than
+    the levelwise enumeration's candidate count."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    n_level_candidates = 4 + 6  # singletons + all pairs (worst case)
+    for max_error in (0.0, 0.001, 0.2):
+        a = discover_auccs(
+            orders, columns=cols, max_size=2, max_error=max_error
+        )
+        stats: dict = {}
+        b = discover_auccs_pyro(
+            orders, columns=cols, max_size=2, max_error=max_error,
+            stats=stats,
+        )
+        assert a == b, (max_error, a, b)
+        assert stats["exact_scored"] < n_level_candidates, stats
+
+
+def test_aucc_pyro_edge_inputs(spark):
+    """Empty table and single row match the levelwise miner (n <= 1 makes
+    every non-empty set an exact UCC; columns=[] falls back to all columns
+    in both miners — the shared ``columns or df.columns`` convention)."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
+    )
+
+    empty = spark.createDataFrame([], "c1 string, c2 int")
+    assert discover_auccs_pyro(empty) == discover_auccs(empty)
+    one = spark.createDataFrame([("a", 1)], "c1 string, c2 int")
+    assert discover_auccs_pyro(one) == discover_auccs(one)
+    assert discover_auccs_pyro(one, columns=[]) == discover_auccs(
+        one, columns=[]
+    )
+
+
+def test_compat_pyroucc_honors_error_kwarg(spark):
+    """ucc.algorithms.PyroUCC registers kErrorOpt in the reference
+    (pyroucc.cpp:29 / config/error/option.cpp:9, default 0.0): at error=0
+    it must equal the exact miners; with error>0 it must surface a
+    near-unique column the exact run rejects."""
+    import pandas as pd
+
+    from desbordante_spark.compat import ucc as compat_ucc
+
+    # k is unique except ONE duplicated value pair -> error 2/(n*(n-1));
+    # (k, v) is exactly unique
+    rows = [(i if i != 19 else 0, i // 2) for i in range(20)]
+    df = pd.DataFrame(rows, columns=["k", "v"])
+
+    exact = compat_ucc.algorithms.PyroUCC()
+    exact.load_data(table=df)
+    exact.execute(max_lhs=2)
+    exact_set = {tuple(u.lhs_indices) for u in exact.get_uccs()}
+
+    hy = compat_ucc.algorithms.HyUCC()
+    hy.load_data(table=df)
+    hy.execute(max_lhs=2)
+    assert exact_set == {tuple(u.lhs_indices) for u in hy.get_uccs()}
+    assert (0,) not in exact_set  # k alone is NOT exactly unique
+
+    approx = compat_ucc.algorithms.PyroUCC()
+    approx.load_data(table=df)
+    approx.execute(max_lhs=2, error=0.1)
+    approx_set = {tuple(u.lhs_indices) for u in approx.get_uccs()}
+    assert (0,) in approx_set  # near-unique k qualifies at error=0.1
+
+
+def test_aucc_driver_entry_covers_both_miners(spark):
+    """The driver row aucc_discovery_orders now carries an algorithm label
+    per miner, both pinned to the same minimal-AUCC set."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_r6b", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    rows = mod.queries()["aucc_discovery_orders"](spark, sf).collect()
+    by_alg: dict = {}
+    for r in rows:
+        by_alg.setdefault(r["algorithm"], set()).add(
+            (r["aucc"], r["error"])
+        )
+    assert set(by_alg) == {"levelwise", "pyro"}
+    assert by_alg["levelwise"] == by_alg["pyro"]
