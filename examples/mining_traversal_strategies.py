@@ -6,12 +6,19 @@ reference's Pyro and HyUCC algorithm surfaces (`algorithm_types.h`; Pyro:
                   identical AFD output to the levelwise PFDTane miner
 - HyUCC hybrid    sampled negative cover + batched validation; identical
                   UCC output to the levelwise TANE miner
+- PyroUCC         the same Pyro traversal with ONE search space over the
+                  schema and the key-g1 target (`ucc/pyroucc/pyroucc.cpp`);
+                  identical AUCC output to the levelwise enumeration
 
 Estimates only steer the walks — every reported dependency passed an
-exact check, so both pairs must agree bit-for-bit."""
+exact check, so all pairs must agree bit-for-bit."""
 
 from __future__ import annotations
 
+from desbordante_spark.discovery.aucc import (
+    discover_auccs,
+    discover_auccs_pyro,
+)
 from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
 from desbordante_spark.discovery.pfdtane import discover_afds
 from desbordante_spark.discovery.pyro import discover_afds_pyro
@@ -39,6 +46,18 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
     assert tane == hyucc, "HyUCC disagrees with levelwise"
     print(f"hyucc: {len(hyucc)} minimal UCCs "
           f"({', '.join('{' + ','.join(u) + '}' for u in hyucc)})")
+
+    ustats: dict = {}
+    aucc_level = discover_auccs(orders, max_size=2, max_error=0.05)
+    aucc_pyro = discover_auccs_pyro(
+        orders, max_size=2, max_error=0.05, stats=ustats
+    )
+    assert aucc_level == aucc_pyro, "PyroUCC disagrees with levelwise"
+    print(f"pyroucc: {len(aucc_pyro)} minimal AUCCs in {ustats['rounds']} "
+          f"rounds ({ustats['exact_scored']} exact / "
+          f"{ustats['estimate_scored']} estimated node visits)")
+    for s, err in aucc_pyro[:4]:
+        print(f"  {{{', '.join(s)}}} (err={err:.4f})")
     print("traversal strategies agree")
 
 
