@@ -46,6 +46,7 @@ def discover_auccs(
     max_error: float = 0.01,
     sample_fraction: float | None = None,
     sample_margin: float = 0.05,
+    stats: dict | None = None,
 ) -> list[tuple[tuple[str, ...], float]]:
     """All minimal AUCCs up to ``max_size`` columns: column sets whose
     equal-pair error ≤ ``max_error``. Returns sorted
@@ -54,8 +55,10 @@ def discover_auccs(
     Minimality: a qualifying set prunes its supersets (the error measure is
     monotone non-increasing in the column set — adding a column only splits
     clusters). ``sample_fraction`` enables the Pyro two-phase (see module
-    docstring)."""
+    docstring). Pass ``stats={}`` to receive ``{"exact_scored",
+    "estimate_scored"}`` node-visit counts."""
     cols = sorted(columns or df.columns)
+    n_exact = n_est = 0
     out: list[tuple[tuple[str, ...], float]] = []
     qualifying: list[tuple[str, ...]] = []
     candidates: list[tuple[str, ...]] = [(c,) for c in cols]
@@ -70,6 +73,7 @@ def discover_auccs(
         todo = candidates
         if sample is not None:
             est = pair_mass_level(sample, todo)
+            n_est += len(todo)
             kept = []
             for i, s in enumerate(todo):
                 ep, m = est.get(i, (0, 0))
@@ -78,6 +82,7 @@ def discover_auccs(
                     kept.append(s)
             todo = kept
         scores = pair_mass_level(df, todo) if todo else {}
+        n_exact += len(todo)
         failed = set(candidates) - set(todo)
         for i, s in enumerate(todo):
             ep, n = scores[i]
@@ -97,6 +102,9 @@ def discover_auccs(
                     continue  # minimality
                 nxt.add(cand)
         candidates = sorted(nxt)
+    if stats is not None:
+        stats["exact_scored"] = n_exact
+        stats["estimate_scored"] = n_est
     return sorted(out)
 
 

@@ -14,6 +14,12 @@ Writes BENCH_LATTICE.json (merged into BENCH.md by tools/scaling_bench.py)
 and prints the JSON. Run SOLO (host timing rules, CLAUDE.md):
 
     python tools/lattice_bench.py [n_rows] [n_cols]
+
+SPARK_GRAFT_LATTICE_ONLY=aucc (comma-separated section names among
+ucc,fd,afd,afd_deep,aucc) re-measures only those sections, merging into
+the existing BENCH_LATTICE.json — node counts are deterministic, so a
+partial re-run never mixes stale structure with fresh timing within a
+section.
 """
 
 from __future__ import annotations
@@ -25,6 +31,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+ALL_SECTIONS = ("ucc", "fd", "afd", "afd_deep", "aucc")
 
 
 def wide_frame(spark, n_rows: int, n_cols: int):
@@ -55,6 +63,183 @@ def wide_frame(spark, n_rows: int, n_cols: int):
     return spark.range(n_rows).select(*exprs[:n_cols])
 
 
+def _timed(fn, reps: int):
+    """min-of-k wall times (CLAUDE.md: the host stalls intermittently
+    5-10x — never trust single-shot timings). The first rep doubles as
+    warmup; node-visit stats come from the final rep (deterministic)."""
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.monotonic()
+        out = fn()
+        best = min(best, time.monotonic() - t0)
+    return out, round(best, 2)
+
+
+def sec_ucc(spark, df, timed):
+    """UCC: levelwise vs HyUCC."""
+    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
+    from desbordante_spark.discovery.tane import discover_uccs
+
+    st_lw: dict = {}
+    uccs_lw, w_lw = timed(lambda: discover_uccs(df, max_size=3, stats=st_lw))
+    st_hy: dict = {}
+    uccs_hy, w_hy = timed(
+        lambda: discover_uccs_hybrid(df, max_size=3, stats=st_hy)
+    )
+    return {
+        "found": len(uccs_lw),
+        "outputs_equal": sorted(uccs_lw, key=lambda u: (len(u), u))
+        == uccs_hy,
+        "levelwise": {"exact_scored": st_lw["exact_scored"],
+                      "wall_sec": w_lw},
+        "hyucc": {"validated": st_hy["validated_candidates"],
+                  "agree_sets": st_hy["agree_sets"], "wall_sec": w_hy},
+    }
+
+
+def sec_fd(spark, df, timed):
+    """FD: levelwise vs HyFD."""
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+    from desbordante_spark.discovery.tane import discover_fds
+
+    st_lw: dict = {}
+    fds_lw, w_lw = timed(lambda: discover_fds(df, max_lhs=2, stats=st_lw))
+    st_hy: dict = {}
+    fds_hy, w_hy = timed(
+        lambda: discover_fds_hybrid(df, max_lhs=2, stats=st_hy)
+    )
+    return {
+        "found": len(fds_lw),
+        "outputs_equal": fds_lw == fds_hy,
+        "levelwise": {"exact_scored": st_lw["exact_scored"],
+                      "wall_sec": w_lw},
+        "hyfd": {"validated": st_hy["validated_candidates"],
+                 "agree_sets": st_hy["agree_sets"], "wall_sec": w_hy},
+    }
+
+
+def sec_afd(spark, df, timed):
+    """AFD: levelwise vs Pyro traversal (g1) on the LOW-cardinality
+    projection: with only small-modulus columns the g1 boundary sits at
+    levels 2-3 (level-1 agree fractions ~1/p are too large), the regime
+    the estimate-driven traversal is built for — a high-cardinality LHS
+    makes every level-1 candidate a near-AFD and leaves nothing to skip."""
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+    afd_cols = [c for c in
+                ["c03", "c04", "c05", "c07", "c08", "c09", "c10",
+                 "c11", "c12", "c13", "c14", "c16"]
+                if c in df.columns]
+    st_lw: dict = {}
+    afds_lw, w_lw = timed(lambda: discover_afds(
+        df, columns=afd_cols, max_lhs=3, max_error=0.05,
+        error_measure="g1", stats=st_lw,
+    ))
+    st_py: dict = {}
+    afds_py, w_py = timed(lambda: discover_afds_pyro(
+        df, columns=afd_cols, max_lhs=3, max_error=0.05,
+        error_measure="g1", stats=st_py,
+    ))
+    return {
+        "found": len(afds_lw),
+        "outputs_equal": afds_lw == afds_py,
+        "levelwise": {"exact_scored": st_lw["exact_scored"],
+                      "wall_sec": w_lw},
+        "pyro": {"exact_scored": st_py["exact_scored"],
+                 "estimate_scored": st_py["estimate_scored"],
+                 "rounds": st_py["rounds"], "wall_sec": w_py},
+    }
+
+
+def sec_afd_deep(spark, df, timed):
+    """AFD deep regime: key column + noise, max_lhs=4 — the shape the
+    traversal is FOR (deep uncovered non-dep subspaces, deps settled at
+    level 1 by a key): levelwise must enumerate every noise-only candidate
+    up to the depth cap; the traversal classifies whole subspaces through
+    maximal non-deps + hitting sets. per_tuple here: pairwise g1 vanishes
+    on deep random combinations (agree-pair mass ~(1/5)^|X|), which would
+    make every deep candidate "hold"; per_tuple keeps the noise space a
+    true non-dep subspace."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.pfdtane import discover_afds
+    from desbordante_spark.discovery.pyro import discover_afds_pyro
+
+    n_rows = df.count()
+    deep = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        *[(F.xxhash64(F.col("id"), F.lit(i)) % 5).alias(f"x{i}")
+          for i in range(7)],
+    ).cache()
+    deep.count()
+    st_lw: dict = {}
+    dlw, w_lw = timed(lambda: discover_afds(
+        deep, max_lhs=4, max_error=0.05, error_measure="per_tuple",
+        stats=st_lw,
+    ))
+    st_py: dict = {}
+    dpy, w_py = timed(lambda: discover_afds_pyro(
+        deep, max_lhs=4, max_error=0.05, error_measure="per_tuple",
+        stats=st_py,
+    ))
+    deep.unpersist()
+    return {
+        "found": len(dlw),
+        "outputs_equal": dlw == dpy,
+        "levelwise": {"exact_scored": st_lw["exact_scored"],
+                      "wall_sec": w_lw},
+        "pyro": {"exact_scored": st_py["exact_scored"],
+                 "estimate_scored": st_py["estimate_scored"],
+                 "rounds": st_py["rounds"], "wall_sec": w_py},
+    }
+
+
+def sec_aucc(spark, df, timed):
+    """AUCC: levelwise enumeration vs the faithful PyroUCC traversal.
+    Small-moduli projection (7, 11, 13, 2, 3, 97 — CRT makes each combo's
+    distinct-key count the modulus product exactly) with the threshold set
+    so the uniqueness boundary sits at levels 3-4: a set qualifies at
+    err ≈ 1/K ≤ 1e-4 only when its key space K reaches ~10^4, which no
+    singleton or pair does. Levelwise must score every singleton, pair,
+    triple, and surviving quadruple; the traversal ascends through the
+    estimated boundary and exact-scores only endpoints + trickle nodes."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
+    )
+
+    aucc_cols = [c for c in
+                 ["c03", "c04", "c05", "c11", "c12", "c16"]
+                 if c in df.columns]
+    st_lw: dict = {}
+    a_lw, w_lw = timed(lambda: discover_auccs(
+        df, columns=aucc_cols, max_size=4, max_error=1e-4, stats=st_lw,
+    ))
+    st_py: dict = {}
+    a_py, w_py = timed(lambda: discover_auccs_pyro(
+        df, columns=aucc_cols, max_size=4, max_error=1e-4, stats=st_py,
+    ))
+    return {
+        "found": len(a_lw),
+        "outputs_equal": a_lw == a_py,
+        "levelwise": {"exact_scored": st_lw["exact_scored"],
+                      "wall_sec": w_lw},
+        "pyroucc": {"exact_scored": st_py["exact_scored"],
+                    "estimate_scored": st_py["estimate_scored"],
+                    "rounds": st_py["rounds"], "wall_sec": w_py},
+    }
+
+
+SECTIONS = {
+    "ucc": sec_ucc,
+    "fd": sec_fd,
+    "afd": sec_afd,
+    "afd_deep": sec_afd_deep,
+    "aucc": sec_aucc,
+}
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cols = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -64,131 +249,43 @@ def main() -> None:
     df = wide_frame(spark, n_rows, n_cols).cache()
     df.count()  # materialize once; every miner reads the cached frame
 
-    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
-    from desbordante_spark.discovery.hyucc import discover_uccs_hybrid
-    from desbordante_spark.discovery.pfdtane import discover_afds
-    from desbordante_spark.discovery.pyro import discover_afds_pyro
-    from desbordante_spark.discovery.tane import discover_fds, discover_uccs
-
+    only = {
+        s.strip()
+        for s in os.environ.get(
+            "SPARK_GRAFT_LATTICE_ONLY", ",".join(ALL_SECTIONS)
+        ).split(",")
+        if s.strip()
+    }
+    unknown = only - set(ALL_SECTIONS)
+    if unknown:
+        raise SystemExit(f"unknown lattice sections: {sorted(unknown)}")
     result: dict = {"n_rows": n_rows, "n_cols": n_cols}
+    out_path = os.path.join(REPO, "BENCH_LATTICE.json")
+    if only != set(ALL_SECTIONS) and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        # merge only when the prior file measured the SAME frame; a partial
+        # run on a different frame would silently drop the other sections
+        if (prior.get("n_rows"), prior.get("n_cols")) != (n_rows, n_cols):
+            raise SystemExit(
+                f"partial run on ({n_rows}, {n_cols}) would discard the "
+                f"recorded ({prior.get('n_rows')}, {prior.get('n_cols')}) "
+                "sections — run all sections or match the frame size"
+            )
+        result = prior
 
-    # min-of-k wall times (CLAUDE.md: the host stalls intermittently
-    # 5-10x — never trust single-shot timings). The first rep doubles as
-    # warmup; node-visit stats come from the final rep (deterministic).
     reps = int(os.environ.get("SPARK_GRAFT_LATTICE_REPS", "2"))
 
     def timed(fn):
-        best = float("inf")
-        for _ in range(max(1, reps)):
-            t0 = time.monotonic()
-            out = fn()
-            best = min(best, time.monotonic() - t0)
-        return out, round(best, 2)
+        return _timed(fn, reps)
 
-    # ---- UCC: levelwise vs HyUCC --------------------------------------
-    st_lw: dict = {}
-    uccs_lw, w_lw = timed(lambda: discover_uccs(df, max_size=3, stats=st_lw))
-    st_hy: dict = {}
-    uccs_hy, w_hy = timed(
-        lambda: discover_uccs_hybrid(df, max_size=3, stats=st_hy)
-    )
-    result["ucc"] = {
-        "found": len(uccs_lw),
-        "outputs_equal": sorted(uccs_lw, key=lambda u: (len(u), u))
-        == uccs_hy,
-        "levelwise": {"exact_scored": st_lw["exact_scored"],
-                      "wall_sec": w_lw},
-        "hyucc": {"validated": st_hy["validated_candidates"],
-                  "agree_sets": st_hy["agree_sets"], "wall_sec": w_hy},
-    }
-    print("ucc", json.dumps(result["ucc"]), flush=True)
+    for name in ALL_SECTIONS:
+        if name not in only:
+            continue
+        result[name] = SECTIONS[name](spark, df, timed)
+        print(name, json.dumps(result[name]), flush=True)
 
-    # ---- FD: levelwise vs HyFD ----------------------------------------
-    st_lw = {}
-    fds_lw, w_lw = timed(lambda: discover_fds(df, max_lhs=2, stats=st_lw))
-    st_hy = {}
-    fds_hy, w_hy = timed(
-        lambda: discover_fds_hybrid(df, max_lhs=2, stats=st_hy)
-    )
-    result["fd"] = {
-        "found": len(fds_lw),
-        "outputs_equal": fds_lw == fds_hy,
-        "levelwise": {"exact_scored": st_lw["exact_scored"],
-                      "wall_sec": w_lw},
-        "hyfd": {"validated": st_hy["validated_candidates"],
-                 "agree_sets": st_hy["agree_sets"], "wall_sec": w_hy},
-    }
-    print("fd", json.dumps(result["fd"]), flush=True)
-
-    # ---- AFD: levelwise vs Pyro traversal (g1) ------------------------
-    # the LOW-cardinality projection: with only small-modulus columns the
-    # g1 boundary sits at levels 2-3 (level-1 agree fractions ~1/p are too
-    # large), the regime the estimate-driven traversal is built for — a
-    # high-cardinality LHS makes every level-1 candidate a near-AFD and
-    # leaves nothing to skip
-    afd_cols = [c for c in
-                ["c03", "c04", "c05", "c07", "c08", "c09", "c10",
-                 "c11", "c12", "c13", "c14", "c16"]
-                if c in df.columns]
-    st_lw = {}
-    afds_lw, w_lw = timed(lambda: discover_afds(
-        df, columns=afd_cols, max_lhs=3, max_error=0.05,
-        error_measure="g1", stats=st_lw,
-    ))
-    st_py = {}
-    afds_py, w_py = timed(lambda: discover_afds_pyro(
-        df, columns=afd_cols, max_lhs=3, max_error=0.05,
-        error_measure="g1", stats=st_py,
-    ))
-    result["afd"] = {
-        "found": len(afds_lw),
-        "outputs_equal": afds_lw == afds_py,
-        "levelwise": {"exact_scored": st_lw["exact_scored"],
-                      "wall_sec": w_lw},
-        "pyro": {"exact_scored": st_py["exact_scored"],
-                 "estimate_scored": st_py["estimate_scored"],
-                 "rounds": st_py["rounds"], "wall_sec": w_py},
-    }
-    print("afd", json.dumps(result["afd"]), flush=True)
-
-    # ---- AFD deep regime: key column + noise, max_lhs=4 ----------------
-    # the shape the traversal is FOR (deep uncovered non-dep subspaces,
-    # deps settled at level 1 by a key): levelwise must enumerate every
-    # noise-only candidate up to the depth cap; the traversal classifies
-    # whole subspaces through maximal non-deps + hitting sets
-    from pyspark.sql import functions as F
-
-    deep = spark.range(n_rows).select(
-        F.col("id").alias("k"),
-        *[(F.xxhash64(F.col("id"), F.lit(i)) % 5).alias(f"x{i}")
-          for i in range(7)],
-    ).cache()
-    deep.count()
-    # per_tuple here: pairwise g1 vanishes on deep random combinations
-    # (agree-pair mass ~(1/5)^|X|), which would make every deep candidate
-    # "hold"; per_tuple keeps the noise space a true non-dep subspace
-    st_lw = {}
-    dlw, w_lw = timed(lambda: discover_afds(
-        deep, max_lhs=4, max_error=0.05, error_measure="per_tuple",
-        stats=st_lw,
-    ))
-    st_py = {}
-    dpy, w_py = timed(lambda: discover_afds_pyro(
-        deep, max_lhs=4, max_error=0.05, error_measure="per_tuple",
-        stats=st_py,
-    ))
-    result["afd_deep"] = {
-        "found": len(dlw),
-        "outputs_equal": dlw == dpy,
-        "levelwise": {"exact_scored": st_lw["exact_scored"],
-                      "wall_sec": w_lw},
-        "pyro": {"exact_scored": st_py["exact_scored"],
-                 "estimate_scored": st_py["estimate_scored"],
-                 "rounds": st_py["rounds"], "wall_sec": w_py},
-    }
-    print("afd_deep", json.dumps(result["afd_deep"]), flush=True)
-
-    with open(os.path.join(REPO, "BENCH_LATTICE.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
