@@ -77,3 +77,54 @@ def test_fd_matches_bruteforce(spark, rows):
     assert (m["total_rows"], m["num_violating_clusters"],
             m["num_violating_rows"]) == (n, nvc, nvr)
     assert m["error"] == pytest.approx(err, abs=1e-12)
+
+
+def _brute_min_auccs(rows, col_idx, max_size, max_error):
+    """All minimal column sets (by index, names assumed in index order)
+    whose equal-pair error <= max_error, exactly the miners' contract."""
+    from itertools import combinations
+
+    n = len(rows)
+
+    def err(idx):
+        counts = Counter(tuple(r[i] for i in idx) for r in rows)
+        p2x = sum(c * (c - 1) for c in counts.values())
+        return p2x / (n * (n - 1)) if n > 1 else 0.0
+
+    qualifying = []
+    for size in range(1, max_size + 1):
+        for idx in combinations(col_idx, size):
+            if any(set(q) <= set(idx) for q, _ in qualifying):
+                continue
+            e = err(idx)
+            if e <= max_error:
+                qualifying.append((idx, e))
+    return sorted(qualifying)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy,
+       max_error=st.sampled_from([0.0, 0.05, 0.2, 0.5]))
+def test_aucc_miners_match_bruteforce(spark, rows, max_error):
+    """Levelwise AUCC enumeration, the faithful PyroUCC traversal, and a
+    brute-force Python oracle agree on minimal sets AND exact errors for
+    random small tables at random thresholds (null-safe keys: nulls
+    agree, like the miners' group_key)."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_pyro,
+    )
+
+    df = spark.createDataFrame(rows, "c1 int, c2 int, c3 string")
+    level = discover_auccs(df, max_size=3, max_error=max_error)
+    pyro = discover_auccs_pyro(df, max_size=3, max_error=max_error)
+    assert level == pyro
+    names = ["c1", "c2", "c3"]
+    want = [
+        (tuple(names[i] for i in idx), e)
+        for idx, e in _brute_min_auccs(rows, (0, 1, 2), 3, max_error)
+    ]
+    assert [s for s, _ in level] == [s for s, _ in want]
+    for (_, got_e), (_, want_e) in zip(level, want):
+        assert got_e == pytest.approx(want_e, abs=1e-12)
