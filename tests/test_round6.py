@@ -641,3 +641,133 @@ def test_aucc_driver_entry_covers_both_miners(spark):
         )
     assert set(by_alg) == {"levelwise", "pyro"}
     assert by_alg["levelwise"] == by_alg["pyro"]
+
+
+# ------------------------- real raster/PCM kernels (stubs retired, round 6)
+
+def test_decode_pnm_pixels_all_formats():
+    from desbordante_spark.functions.media import decode_pnm_pixels
+
+    # P6 RGB binary: luma = channel mean / maxval
+    p6 = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+    w, h, luma = decode_pnm_pixels(p6)
+    assert (w, h) == (2, 2)
+    assert luma == pytest.approx([1 / 3, 1 / 3, 1 / 3, 1.0])
+
+    # P5 grayscale, 2-byte big-endian samples (maxval > 255)
+    p5 = b"P5 1 2 65535 " + bytes([0, 0, 255, 255])
+    assert decode_pnm_pixels(p5)[2] == pytest.approx([0.0, 1.0])
+
+    # P2 ASCII grayscale with maxval scaling
+    p2 = b"P2\n2 2\n100\n0 50\n100 100\n"
+    assert decode_pnm_pixels(p2)[2] == pytest.approx([0.0, 0.5, 1.0, 1.0])
+
+    # P1 ASCII bitmap, unseparated bits (1 = black = luma 0)
+    p1 = b"P1\n2 2\n0110\n"
+    assert decode_pnm_pixels(p1)[2] == pytest.approx([1.0, 0.0, 0.0, 1.0])
+
+    # P4 packed binary bitmap: 0xAA = 10101010
+    p4 = b"P4\n8 1\n" + bytes([0b10101010])
+    assert decode_pnm_pixels(p4)[2] == pytest.approx(
+        [0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    )
+
+    # P3 ASCII RGB
+    p3 = b"P3 1 1 255  255 0 0"
+    assert decode_pnm_pixels(p3)[2] == pytest.approx([1 / 3])
+
+    with pytest.raises(ValueError):
+        decode_pnm_pixels(b"P6\n2 2\n255\n\x00\x00")  # truncated raster
+
+
+def _pcm16_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+                      byte_rate, channels * 2, 16)
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff = b"WAVE" + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(riff)) + riff
+
+
+def test_decode_wav_samples():
+    from desbordante_spark.functions.media import decode_wav_samples
+
+    # mono square wave at half amplitude
+    wav = _pcm16_wav(8000, 1, [16384, -16384] * 50)
+    rate, mono = decode_wav_samples(wav)
+    assert rate == 8000 and len(mono) == 100
+    assert mono[0] == pytest.approx(0.5) and mono[1] == pytest.approx(-0.5)
+
+    # stereo: L/R opposite phases cancel in the mono mix
+    wav2 = _pcm16_wav(16000, 2, [16384, -16384] * 10)
+    _rate, mono2 = decode_wav_samples(wav2)
+    assert mono2 == pytest.approx([0.0] * 10)
+
+    with pytest.raises(NotImplementedError):
+        # format tag 85 (MP3-in-WAV) needs a codec
+        import struct as st
+
+        fmt = st.pack("<4sIHHIIHH", b"fmt ", 16, 85, 1, 8000, 8000, 1, 16)
+        bad = st.pack("<4sI", b"RIFF", 4 + len(fmt)) + b"WAVE" + fmt
+        decode_wav_samples(bad)
+
+
+def test_split_pnm_frames_and_real_frame_sampling(spark):
+    from desbordante_spark.functions.media import (
+        decode_pnm_pixels,
+        sample_video_frames,
+        split_pnm_frames,
+    )
+
+    frames = [b"P5 1 1 255 " + bytes([v]) for v in (10, 20, 30, 40, 50)]
+    stream = b"".join(frames)
+    spans = split_pnm_frames(stream)
+    assert len(spans) == 5
+    assert [stream[lo:hi] for lo, hi in spans] == frames
+
+    df = spark.createDataFrame(
+        [("vid1", stream)], "media_ref string, payload binary"
+    )
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in sample_video_frames(df, n_frames=2, use_stub=False)
+        .collect()
+    )
+    # even sampling over 5 frames at n=2 -> indices 0 and 2
+    assert got == [(0, frames[0]), (2, frames[2])]
+    # each emitted frame is a standalone decodable Netpbm file
+    assert decode_pnm_pixels(got[1][1])[2] == pytest.approx([30 / 255])
+
+    with pytest.raises(Exception, match="NotImplementedError|frame"):
+        sample_video_frames(
+            spark.createDataFrame(
+                [("x", b"\x00\x00ftypmp42....")],
+                "media_ref string, payload binary",
+            ),
+            use_stub=False,
+        ).collect()
+
+
+def test_real_media_features(spark):
+    from desbordante_spark.functions.media import extract_media_features
+
+    p6 = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+    wav = _pcm16_wav(8000, 1, [16384, -16384] * 50)
+    df = spark.createDataFrame(
+        [("img", p6), ("aud", wav)], "media_ref string, payload binary"
+    )
+    got = {
+        r["media_ref"]: list(r["features"])
+        for r in extract_media_features(df, dim=2, use_stub=False).collect()
+    }
+    # image: mean luma per half of the raster scan
+    assert got["img"] == pytest.approx([1 / 3, 2 / 3])
+    # audio: RMS of a half-amplitude square wave is 0.5 in every bucket
+    assert got["aud"] == pytest.approx([0.5, 0.5])
