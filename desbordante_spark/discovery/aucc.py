@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 
 from desbordante_spark.discovery.common import content_sample, pair_mass_level
 
-__all__ = ["discover_auccs", "discover_auccs_pyro"]
+__all__ = ["discover_auccs", "discover_auccs_auto", "discover_auccs_pyro"]
 
 
 def discover_auccs(
@@ -267,3 +267,63 @@ def discover_auccs_pyro(
         stats["estimate_scored"] = n_est
         stats["rounds"] = n_rounds
     return sorted(auccs)
+
+
+def discover_auccs_auto(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_size: int = 2,
+    max_error: float = 0.01,
+    sample_fraction: float = 0.1,
+    dense_threshold: float = 0.15,
+    stats: dict | None = None,
+) -> list[tuple[tuple[str, ...], float]]:
+    """AUCC discovery with automatic search-strategy selection — the AUCC
+    analog of ``pyro.discover_afds_auto`` (BENCH.md's lattice-skip
+    guidance: pick the miner per expected boundary depth).
+
+    Probe: ONE batched exact job scores every singleton (work either
+    strategy redoes anyway). Boundary density = the fraction of singletons
+    already qualifying at ``max_error``. Qualifying singletons END their
+    branches immediately (supersets are pruned by minimality), so a dense
+    level 1 leaves levelwise near-optimal and the traversal's rounds pure
+    overhead; a sparse level 1 means the boundary sits deep — the regime
+    the estimate-steered walk skips through (BENCH_LATTICE.json ``aucc``:
+    53 levelwise-scored vs 28 traversal-exact on the level-3/4 boundary).
+    ``max_size <= 1`` answers from the probe path directly. Output is
+    IDENTICAL in every branch; ``stats`` records ``chosen``, ``density``,
+    and the underlying miner's counters."""
+    cols = sorted(columns or df.columns)
+    inner: dict = {}
+    if max_size <= 1 or not cols:
+        out = discover_auccs(
+            df, columns=cols, max_size=max_size, max_error=max_error,
+            stats=inner,
+        )
+        if stats is not None:
+            stats.update(chosen="levelwise", density=None, **inner)
+        return out
+    got = pair_mass_level(df, [(c,) for c in cols])
+    thr = float(max_error)
+    n_q = 0
+    for i in range(len(cols)):
+        ep, n = got[i]
+        err = ep / (n * (n - 1)) if n > 1 else 0.0
+        if err <= thr:
+            n_q += 1
+    density = n_q / len(cols)
+    if density >= dense_threshold:
+        out = discover_auccs(
+            df, columns=cols, max_size=max_size, max_error=max_error,
+            stats=inner,
+        )
+        chosen = "levelwise"
+    else:
+        out = discover_auccs_pyro(
+            df, columns=cols, max_size=max_size, max_error=max_error,
+            sample_fraction=sample_fraction, stats=inner,
+        )
+        chosen = "traversal"
+    if stats is not None:
+        stats.update(chosen=chosen, density=round(density, 4), **inner)
+    return out

@@ -771,3 +771,34 @@ def test_real_media_features(spark):
     assert got["img"] == pytest.approx([1 / 3, 2 / 3])
     # audio: RMS of a half-amplitude square wave is 0.5 in every bucket
     assert got["aud"] == pytest.approx([0.5, 0.5])
+
+
+def test_aucc_auto_routing(spark):
+    """discover_auccs_auto routes dense level-1 boundaries to levelwise
+    and sparse ones to the traversal, with identical output either way."""
+    from desbordante_spark.discovery.aucc import (
+        discover_auccs,
+        discover_auccs_auto,
+    )
+
+    # dense: both columns are near-unique -> both singletons qualify
+    dense_rows = [(i, i if i != 9 else 0) for i in range(10)]
+    dense = spark.createDataFrame(dense_rows, "a int, b int")
+    st: dict = {}
+    got = discover_auccs_auto(dense, max_size=2, max_error=0.1, stats=st)
+    assert st["chosen"] == "levelwise" and st["density"] == 1.0
+    assert got == discover_auccs(dense, max_size=2, max_error=0.1)
+
+    # sparse: low-cardinality singletons all fail; the pair is unique
+    sparse_rows = [(i % 4, i // 4) for i in range(16)]
+    sparse = spark.createDataFrame(sparse_rows, "a int, b int")
+    st = {}
+    got = discover_auccs_auto(sparse, max_size=2, max_error=0.01, stats=st)
+    assert st["chosen"] == "traversal" and st["density"] == 0.0
+    assert got == discover_auccs(sparse, max_size=2, max_error=0.01)
+
+    # max_size=1: answered without a routing probe
+    st = {}
+    got = discover_auccs_auto(dense, max_size=1, max_error=0.1, stats=st)
+    assert st["chosen"] == "levelwise" and st["density"] is None
+    assert got == discover_auccs(dense, max_size=1, max_error=0.1)
