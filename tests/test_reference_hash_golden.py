@@ -165,6 +165,26 @@ def test_ucc_hybrid_matches_goldens_sample(spark):
         assert got == UCC_GOLD[name], (name, sorted(uccs))
 
 
+def test_ucc_pyroucc_traversal_matches_goldens_sample(spark):
+    """The reference pins PyroUCC to the SAME consistent hashes as HyUCC
+    (test_ucc_algorithms.cpp:150 runs both through kLightDatasets): at
+    error=0 the faithful traversal (discover_auccs_pyro) must reproduce
+    the exact minimal-UCC goldens, column sets and all."""
+    from desbordante_spark.discovery.aucc import discover_auccs_pyro
+
+    for name in ("WDC_symbols", "WDC_satellites", "WDC_kepler"):
+        df, cols = load(spark, name)
+        pos = {c: i for i, c in enumerate(cols)}
+        auccs = discover_auccs_pyro(
+            df, columns=cols, max_size=len(cols), max_error=0.0
+        )
+        assert all(e == 0.0 for _s, e in auccs), name
+        got = h_vec_of_vecs(
+            [tuple(sorted(pos[c] for c in s)) for s, _e in auccs]
+        )
+        assert got == UCC_GOLD[name], (name, sorted(s for s, _ in auccs))
+
+
 # ---- FD goldens (test_fd_util.h kLightDatasets, Fletcher16) -------------
 
 FD_GOLD = {
