@@ -729,18 +729,31 @@ class _ac:
     class algorithms:
         class AcAlgorithm(_Algo):
             def execute(self, bin_operation: str = "+", weight: float = 0.05,
-                        ac_seed: int = 42, **_kw):
+                        ac_seed: int = 42, fuzziness: float | None = None,
+                        p_fuzz: float = 0.9, bumps_limit: int = 0,
+                        iterations_limit: int = 10,
+                        faithful_max_rows: int = 100_000, **_kw):
                 """Mines ranges + exceptions for every ordered column pair
                 of the loaded table (the reference's behavior — the example
-                loads exactly the two columns of interest). The reference's
-                fuzzy-sampling knobs (``p_fuzz``/``fuzziness``/
-                ``bumps_limit``/``iterations_limit``) tune ITS sampler and
-                are accepted but ignored; this engine's sampler is bounded
-                by ``ac.ac_build_ranges(max_sample=)``."""
+                loads exactly the two columns of interest). Passing
+                ``fuzziness`` (the reference's BHUNT sampler knob, even
+                0.0 for exact) routes through the FAITHFUL engine
+                (discovery/ac_algorithm.py — reference RNG stream, typed
+                arithmetic, golden-replayed vs test_ac_algorithm.cpp);
+                that path collects the table and is bounded by
+                ``faithful_max_rows``. Default (no ``fuzziness``) stays on
+                the distributed sampler bounded by
+                ``ac.ac_build_ranges(max_sample=)``."""
                 from desbordante_spark.operators.ac import (
                     ac_build_ranges,
                     ac_exceptions,
                 )
+
+                if fuzziness is not None:
+                    return self._execute_faithful(
+                        bin_operation, weight, ac_seed, fuzziness, p_fuzz,
+                        bumps_limit, iterations_limit, faithful_max_rows,
+                    )
 
                 self._ranges = []
                 self._exceptions = []
@@ -765,6 +778,50 @@ class _ac:
                             ACException(rid, (i, j), float(r["binop_value"]))
                         )
                 self._exceptions.sort(key=lambda e: e.row_index)
+                return self
+
+            def _execute_faithful(self, bin_operation, weight, ac_seed,
+                                  fuzziness, p_fuzz, bumps_limit,
+                                  iterations_limit, faithful_max_rows):
+                from pyspark.sql import functions as F
+
+                from desbordante_spark.discovery.ac_algorithm import (
+                    ACFaithful,
+                )
+
+                head = self._df.select(
+                    *([self._rid] if self._rid else []),
+                    *[F.col(c).cast("string") for c in self._cols],
+                ).limit(faithful_max_rows + 1).collect()
+                if len(head) > faithful_max_rows:
+                    raise ValueError(
+                        "faithful AC path collects the table; "
+                        f"{len(head)}+ rows exceed faithful_max_rows="
+                        f"{faithful_max_rows} — use the default "
+                        "distributed sampler for tables this size"
+                    )
+                if self._rid:
+                    head.sort(key=lambda r: r[self._rid])
+                rows = [[r[c] for c in self._cols] for r in head]
+                algo = ACFaithful(
+                    rows, bin_operation=bin_operation, fuzziness=fuzziness,
+                    p_fuzz=p_fuzz, weight=weight, bumps_limit=bumps_limit,
+                    iterations_limit=iterations_limit, seed=ac_seed,
+                ).execute()
+                self._faithful = algo
+                self._ranges = [
+                    ACRange((c.lhs, c.rhs), list(c.ranges))
+                    for c in algo.collections
+                ]
+                self._exceptions = []
+                for e in algo.collect_exceptions():
+                    for pair in e.column_pairs:
+                        self._exceptions.append(
+                            ACException(
+                                e.row, pair,
+                                float(algo.binop_value(e.row, *pair)),
+                            )
+                        )
                 return self
 
             def get_ac_ranges(self):

@@ -236,7 +236,12 @@ def discover_nary_inds(
                 rcols = tuple(p[1] for p in combo)
                 if len(set(lcols)) < len(lcols) or len(set(rcols)) < len(rcols):
                     continue
-                if lt == rt and lcols == rcols:  # identical projection
+                # de Marchi GenNext: a same-table candidate whose side
+                # column SETS intersect is never generated (mind.cpp:
+                # 126-128 + column_combination.cpp:20-29 — Faida's
+                # apriori_candidate_generator.cpp:28 applies the same
+                # rule); this also covers the identical projection
+                if lt == rt and set(lcols) & set(rcols):
                     continue
                 # downward closure: every arity-k projection must be valid
                 if any(

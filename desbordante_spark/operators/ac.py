@@ -57,8 +57,11 @@ def ac_build_ranges(
     max_sample: int = 100_000,
 ) -> list[tuple[float, float]]:
     """Sample the binop column and cluster sorted values into disjoint
-    [lo, hi] ranges; a gap wider than ``weight * (global span)`` starts a new
-    range (the reference's weight-bundling semantics).
+    [lo, hi] ranges with the reference's exact bundling rule
+    (ac_algorithm.cpp:263-299, replayed golden-for-golden by
+    discovery/ac_algorithm.py): a gap wider than ``span * weight /
+    (1 - weight)`` starts a new range, ``weight == 1`` collapses to one
+    [min, max] range, and fewer than two sampled rows yield no ranges.
 
     The driver collect is BOUNDED by ``max_sample`` (the reference samples a
     bounded count, not a fraction): a fraction-only sample of a 100-TB table
@@ -73,12 +76,14 @@ def ac_build_ranges(
     distributed TakeOrderedAndProject on ``md5(value)`` (unbiased across
     the value space). When the distinct count fits under the cap, every
     sampled value contributes."""
+    if not (0 < weight <= 1):
+        raise ValueError("weight out of range (0, 1]")
     v = _binop_col(col_a, col_b, op)
-    vals = df.select(v.alias("v")).filter(F.col("v").isNotNull())
+    sampled = df.select(v.alias("v")).filter(F.col("v").isNotNull())
     if sample_fraction < 1.0:
-        vals = vals.sample(fraction=sample_fraction, seed=seed)
+        sampled = sampled.sample(fraction=sample_fraction, seed=seed)
     vals = (
-        vals.distinct()
+        sampled.distinct()
         .orderBy(F.md5(F.col("v").cast("string")))
         .limit(int(max_sample))
         .collect()
@@ -86,12 +91,20 @@ def ac_build_ranges(
     xs = sorted(r["v"] for r in vals)
     if not xs:
         return []
-    span = xs[-1] - xs[0] or 1.0
-    gap = weight * span
+    if len(xs) == 1:
+        # the reference emits no ranges for a single sampled row, but a
+        # single distinct VALUE seen on 2+ rows is the one-point range
+        # (ac_algorithm.cpp:266-268 counts pairs, not values)
+        if sampled.limit(2).count() < 2:
+            return []
+        return [(xs[0], xs[0])]
+    if weight >= 1:
+        return [(xs[0], xs[-1])]
+    delta = (xs[-1] - xs[0]) * (weight / (1.0 - weight))
     ranges: list[tuple[float, float]] = []
     lo = prev = xs[0]
     for x in xs[1:]:
-        if x - prev > gap:
+        if x - prev > delta:
             ranges.append((lo, prev))
             lo = x
         prev = x

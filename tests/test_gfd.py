@@ -144,3 +144,48 @@ def test_gfd_disconnected_pattern_components(spark):
     for r in m:
         ids = {r["w__id"], r["x__id"], r["y__id"], r["z__id"]}
         assert len(ids) == 4
+
+
+# ---- GfdValidationTest goldens (test_gfd_validation.cpp:32-52) -----------
+
+GRAPH_DATA = "/root/reference/test_input_data/graph_data"
+
+
+def test_gfd_quadrangle_trivially_holds(spark):
+    """TestTrivially: the quadrangle GFD's pattern (polygon—triangle)
+    has no embedding in the host graph, so the GFD holds vacuously
+    (GfdList size 1 in the reference = the GFD is returned as holding).
+    Also exercises the GFD-file shape with an EMPTY premise line and a
+    variable-to-variable conclusion literal (0.sides=1.sides)."""
+    from desbordante_spark.sources.graph_dot import (
+        parse_gfd_file,
+        verify_gfd_files,
+    )
+
+    spec = parse_gfd_file(f"{GRAPH_DATA}/quadrangle_gfd.dot")
+    assert spec["premises"] == []
+    assert spec["conclusion"] == [(("0", "sides"), ("1", "sides"))]
+    assert spec["pattern_vertices"] == {"0": "polygon", "1": "triangle"}
+
+    res = verify_gfd_files(
+        spark,
+        f"{GRAPH_DATA}/quadrangle.dot",
+        f"{GRAPH_DATA}/quadrangle_gfd.dot",
+    )
+    assert res.holds
+    assert res.total_rows == 0
+    assert res.num_violating_rows == 0
+
+
+def test_gfd_directors_does_not_hold(spark):
+    """TestExistingMatches: the directors GFD is violated (GfdList size
+    0 in the reference) — the verify side is already goldened in
+    test_round3.py; this pins the holds-verdict next to its sibling."""
+    from desbordante_spark.sources.graph_dot import verify_gfd_files
+
+    res = verify_gfd_files(
+        spark,
+        f"{GRAPH_DATA}/directors.dot",
+        f"{GRAPH_DATA}/directors_gfd.dot",
+    )
+    assert not res.holds

@@ -64,3 +64,38 @@ def test_ind_approx_check(tables):
     bad = ind_approx_check(lhs_df, ["ref"], rhs_df, ["key"]).collect()[0]
     # 'zz' missing from rhs -> union cardinality exceeds rhs
     assert bad["holds_approx"] == 0
+
+
+# ---- Faida TestTwoTables golden (test_faida.cpp:53-59) -------------------
+
+def _two_tables(spark):
+    import csv
+
+    def load(name):
+        path = f"/root/reference/test_input_data/ind_data/two_tables/{name}"
+        with open(path, newline="") as f:
+            rows = [r for r in csv.reader(ln.rstrip() for ln in f)]
+        cols = [f"c{i}" for i in range(len(rows[0]))]
+        return spark.createDataFrame(
+            rows, ", ".join(f"{c} string" for c in cols)
+        )
+
+    return {"t0": load("first.csv"), "t1": load("second.csv")}
+
+
+def test_faida_two_tables_47_inds_golden(spark):
+    """Reference test_faida.cpp TestTwoTables: 47 total n-ary INDs over
+    the two-tables fixture, containing the 4-ary pair
+    t0[c0,c1,c2,c3] ⊆ t1[c0,c1,c3,c4] and its converse — replayed by
+    BOTH the exact Mind path and the Faida HLL-sketch path (on data this
+    small the approximate result must equal the exact one, which is the
+    reference test's own premise)."""
+    from desbordante_spark.discovery.mind import discover_nary_inds
+
+    tables = _two_tables(spark)
+    for approx in (False, True):
+        got = discover_nary_inds(tables, max_arity=4, approx=approx)
+        rows = {(r["lhs"], r["rhs"]) for r in got.collect()}
+        assert ("t0[c0,c1,c2,c3]", "t1[c0,c1,c3,c4]") in rows, approx
+        assert ("t1[c0,c1,c3,c4]", "t0[c0,c1,c2,c3]") in rows, approx
+        assert len(rows) == 47, (approx, len(rows))
