@@ -234,6 +234,24 @@ class _FdMiner(_Algo):
     def get_fds(self):
         return self._fds
 
+    def get_keys(self):
+        """``FDAlgorithm::GetKeys`` (fd_algorithm.cpp:49-81): a column is
+        a key when its count of minimal unary FDs plus the
+        constant-column count plus itself covers the whole schema
+        (constant columns can never be a minimal FD's RHS — their
+        minimal form is the empty-LHS FD). Returns column names in
+        schema order; golden-replayed vs test_algo_interfaces.cpp."""
+        n_cols = len(self._cols)
+        constants = sum(1 for fd in self._fds if len(fd.lhs) == 0)
+        per: dict[str, int] = {}
+        for fd in self._fds:
+            if len(fd.lhs) == 1:
+                per[fd.lhs[0]] = per.get(fd.lhs[0], 0) + 1
+        return [
+            c for c in self._cols
+            if per.get(c, 0) + 1 + constants == n_cols
+        ]
+
 
 class _fd:
     class algorithms:

@@ -36,7 +36,39 @@ from pyspark.sql import functions as F
 from desbordante_spark.model import as_cols, FDResult
 
 __all__ = ["fd_violations", "fd_verify", "fd_highlights", "fd_metrics_df",
-           "pfd_metrics_df", "HIGHLIGHT_SORT_KEYS"]
+           "pfd_metrics_df", "fd_unary_keys", "HIGHLIGHT_SORT_KEYS"]
+
+
+def fd_unary_keys(df: DataFrame, cols: Sequence[str] | None = None) -> list[str]:
+    """Single-column keys: columns whose PLI has no non-singleton cluster
+    with nulls equal — ``PliBasedFDAlgorithm::GetKeys``
+    (pli_based_fd_algorithm.cpp:34-45 via ``AllValuesAreUnique``,
+    position_list_index.h:136-138). Golden-replayed against
+    test_algo_interfaces.cpp's per-dataset key sets.
+
+    ONE melted job for every column (no per-column Expand, no per-column
+    jobs): explode each row into (column, injectively-encoded value)
+    pairs, then a single groupBy finds every duplicated value. Map-side
+    partial aggregation absorbs most duplicates before the shuffle, so
+    the exchanged volume is ~the distinct-value mass, not n_rows×n_cols."""
+    from desbordante_spark.discovery.common import encode_value
+
+    cols = list(cols if cols is not None else df.columns)
+    kv = F.array(*[
+        F.struct(F.lit(c).alias("c"), encode_value(c).alias("v"))
+        for c in cols
+    ])
+    dup = (
+        df.select(F.explode(kv).alias("kv"))
+        .groupBy(F.col("kv.c").alias("c"), F.col("kv.v").alias("v"))
+        .count()
+        .filter(F.col("count") > 1)
+        .select("c")
+        .distinct()
+        .collect()
+    )
+    non_unique = {r["c"] for r in dup}
+    return [c for c in cols if c not in non_unique]
 
 
 def _lhs_base(df: DataFrame, lhs: Sequence[str], is_null_equal_null: bool) -> DataFrame:

@@ -268,3 +268,44 @@ def test_ind_reference_hashes(spark, gold, equal_nulls):
         ]
         got = h_ind_list(inds)
         assert got == want, (name, equal_nulls, sorted(inds))
+
+
+# ---- FDAlgorithm/PliBased GetKeys goldens (test_algo_interfaces.cpp) ----
+
+# expected single-column key indices per dataset (KeysTestParams,
+# test_algo_interfaces.cpp:60-66); abalone/adult expect {} but their CSVs
+# are git-lfs-only in the reference checkout, so they cannot be replayed
+KEYS_GOLD = {
+    "WDC_age": [0, 1, 2],
+    "WDC_game": [0, 1, 2, 3, 4],
+    "WDC_appearances": [0, 2],
+    "WDC_astronomical": [3, 4, 5],
+    "CIPublicHighway700": [0, 2],
+}
+
+
+@pytest.mark.parametrize("rel,want", sorted(KEYS_GOLD.items()))
+def test_get_keys_pli_route_golden(spark, rel, want):
+    """PliBasedFDAlgorithm::GetKeys — a column is a key iff its PLI has
+    no non-singleton cluster (nulls equal)."""
+    from desbordante_spark.operators.fd import fd_unary_keys
+
+    df, cols = load(spark, rel)
+    got = fd_unary_keys(df, cols)
+    assert got == [f"c{i}" for i in want]
+
+
+@pytest.mark.parametrize("rel,want", sorted(KEYS_GOLD.items()))
+def test_get_keys_fd_list_route_golden(spark, rel, want):
+    """FDAlgorithm::GetKeys — the unary-minimal-FD counting formula over
+    a discovered FD list (max_lhs=1 suffices: the formula only reads
+    empty-LHS and unary-LHS FDs, and unary minimality never depends on
+    wider LHS levels). The reference's typed test asserts both
+    interfaces return the same keys — so do these two tests."""
+    import desbordante_spark.compat as db
+
+    df, cols = load(spark, rel)
+    algo = db.fd.algorithms.Tane()
+    algo.load_data(table=df, spark=spark)
+    algo.execute(max_lhs=1)
+    assert algo.get_keys() == [f"c{i}" for i in want]
