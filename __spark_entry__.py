@@ -1326,7 +1326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # — verification primitives (one per §2.3 family) —
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
-        "ucc_metrics_orders_custkey": _q_ucc_metrics_orders_custkey,
         "fd_violations_orders": _q_fd_violations_orders,
         "fd_metrics_orders": _q_fd_metrics_orders,
         "afd_metrics_lineitem": _q_afd_metrics_lineitem,
@@ -1340,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gfd_order_customer": _q_gfd_order_customer,
         "gfd_dot_directors": _q_gfd_dot_directors,
         "dynamic_fd_orders": _q_dynamic_fd_orders,
+        "dynamic_fd_incremental_orders": _q_dynamic_fd_incremental_orders,
         "span_invariant_violations": _q_span_invariant_violations,
         "span_equality_docs": _q_span_equality_docs,
         # — statistics / profiling (§2.4) —
@@ -1379,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_candidates_cities": _q_typo_candidates_cities,
         "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
         # ---- position 51+ : same-family variants (check_oracle/pytest) ----
+        "ucc_metrics_orders_custkey": _q_ucc_metrics_orders_custkey,
         "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
         "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
@@ -1398,7 +1399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucc_discovery_orders": _q_ucc_discovery_orders,
         "ucc_discovery_hybrid_orders": _q_ucc_discovery_hybrid_orders,
         "afd_discovery_sampled_orders": _q_afd_discovery_sampled_orders,
-        "dynamic_fd_incremental_orders": _q_dynamic_fd_incremental_orders,
     }
 
 
