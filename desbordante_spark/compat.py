@@ -556,20 +556,84 @@ class DD:
 class _dd:
     class algorithms:
         class Split(_Algo):
+            """dd.Split (bind_split.cpp:23) — by default this runs the
+            FAITHFUL full search (discovery/split_search.py: candidate
+            difference spaces from the difference table or the
+            ``num_dfs_per_column`` default grid, instance-exclusion
+            reduce, redundancy + transitivity removal, split.cpp:71-222).
+            ``lhs_bounds=`` keeps the engine's bounded RHS-mining
+            extension (discovery/split.py) for corpus-scale use."""
+
             def execute(self, difference_table=None, lhs_bounds=None,
-                        rhs_cols=None, min_pairs: int = 1, **_kw):
+                        rhs_cols=None, min_pairs: int = 1,
+                        num_rows: int = 0, num_columns: int = 0, **_kw):
+                if lhs_bounds:
+                    return self._execute_rhs_mining(
+                        lhs_bounds, rhs_cols, min_pairs
+                    )
+
+                import csv as _csv
+
+                from desbordante_spark.discovery.split_search import (
+                    discover_dds_split,
+                    parse_difference_rows,
+                )
+
+                constraints = None
+                if difference_table is not None:
+                    path, sep, has_header = difference_table
+                    with open(path, newline="") as f:
+                        rows = list(_csv.reader(f, delimiter=sep))
+                    header = (rows[0] if has_header
+                              else [f"col{i}" for i in range(len(rows[0]))])
+                    body = rows[1:] if has_header else rows
+                    # dif-table columns map to table columns BY POSITION
+                    # (split.cpp:388: GetColumnData(index) on the dif
+                    # relation), so rename to the table's schema
+                    header = [
+                        self._cols[i] if i < len(self._cols) else c
+                        for i, c in enumerate(header)
+                    ]
+                    constraints = parse_difference_rows(header, body)
+                res = discover_dds_split(
+                    self._typed_df(), difference_constraints=constraints,
+                    row_id=self._rid, num_rows=num_rows,
+                    num_columns=num_columns,
+                )
+                self._dds = res.dds
+                return self
+
+            def _typed_df(self):
+                """CSV columns arrive as strings; recover numeric columns
+                (the reference types them via TypedColumnData before
+                computing |a-b| distances — split.cpp:224-251)."""
+                from pyspark.sql import functions as F
+
+                from desbordante_spark.operators.schema_infer import (
+                    type_profile,
+                )
+
+                df = self._df.select(
+                    *(self._cols + ([self._rid] if self._rid else []))
+                )
+                inferred = {
+                    r["column"]: r["inferred_type"]
+                    for r in type_profile(df.select(*self._cols)).collect()
+                }
+                casts = []
+                for c in self._cols:
+                    t = inferred.get(c)
+                    if t in ("int", "bigint", "double"):
+                        casts.append(F.col(c).cast("double").alias(c))
+                    else:
+                        casts.append(F.col(c))
+                if self._rid:
+                    casts.append(F.col(self._rid))
+                return df.select(*casts)
+
+            def _execute_rhs_mining(self, lhs_bounds, rhs_cols, min_pairs):
                 from desbordante_spark.discovery.split import discover_dds
 
-                constraints = []
-                if difference_table is not None:
-                    constraints = _parse_difference_table(difference_table)
-                elif lhs_bounds:
-                    constraints = [dict(lhs_bounds)]
-                else:
-                    raise ValueError(
-                        "pass difference_table=(path, sep, header) or "
-                        "lhs_bounds={col: (lo, hi)}"
-                    )
                 rid = self._rid
                 df = self._df
                 if rid is None:
@@ -577,52 +641,24 @@ class _dd:
 
                     rid = "_rid"
                     df = df.withColumn(rid, F.monotonically_increasing_id())
-                self._dds = []
-                for bounds in constraints:
-                    cands = rhs_cols or [
-                        c for c in self._cols if c not in bounds
-                    ]
-                    rows = discover_dds(
-                        df, bounds, cands, rid, min_pairs=min_pairs
-                    ).collect()
-                    lhs = tuple(
-                        (c, lo, hi) for c, (lo, hi) in sorted(bounds.items())
-                    )
-                    self._dds += [
-                        DD(lhs, r["rhs_col"], r["lo"], r["hi"])
-                        for r in rows if r["holds"]
-                    ]
+                bounds = dict(lhs_bounds)
+                cands = rhs_cols or [c for c in self._cols if c not in bounds]
+                rows = discover_dds(
+                    df, bounds, cands, rid, min_pairs=min_pairs
+                ).collect()
+                lhs = tuple(
+                    (c, lo, hi) for c, (lo, hi) in sorted(bounds.items())
+                )
+                self._dds = [
+                    DD(lhs, r["rhs_col"], r["lo"], r["hi"])
+                    for r in rows if r["holds"]
+                ]
                 return self
 
             def get_dds(self):
                 return self._dds
 
         Default = Split
-
-
-def _parse_difference_table(spec):
-    """Reference difference-table format (examples/datasets/
-    flights_dd_dif_table.csv): header = column names; each row gives, per
-    column, a ``[lo;hi]`` difference constraint or ``---`` for
-    unrestricted. Each row becomes one LHS-bounds search."""
-    import csv as _csv
-
-    path, sep, has_header = spec
-    with open(path, newline="") as f:
-        rows = list(_csv.reader(f, delimiter=sep))
-    header = rows[0] if has_header else [f"col{i}" for i in range(len(rows[0]))]
-    body = rows[1:] if has_header else rows
-    out = []
-    for row in body:
-        bounds = {}
-        for col, cell in zip(header, row):
-            cell = cell.strip()
-            if cell.startswith("["):
-                lo, hi = cell.strip("[]").split(";")
-                bounds[col] = (float(lo), float(hi))
-        if bounds:
-            out.append(bounds)
-    return out
 
 
 # --------------------------------------------------------------- CFD mining

@@ -1,15 +1,39 @@
 """Differential dependencies — mirrors /root/reference/examples/mining_dd.py:
-MINE the RHS difference bounds over the qualifying pairs (Split), then
-verify (banded equi-self-join, never a cross join)."""
+the FAITHFUL Split search (difference-table candidate spaces →
+instance-exclusion reduce → minimal cover), the engine's corpus-scale RHS
+bound mining, then verification (banded equi-self-join, never a cross
+join)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from desbordante_spark.discovery.split import dd_build_rhs_ranges, discover_dds
+from desbordante_spark.discovery.split_search import discover_dds_split
 from desbordante_spark.operators.dd import dd_verify, dd_violations
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    # --- faithful Split search (reference mining_dd.py walkthrough) ---
+    slice_df = (
+        supplier.orderBy("s_suppkey").limit(25)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .withColumn("s_acctbal", F.round("s_acctbal", 0))
+    )
+    res = discover_dds_split(
+        slice_df,
+        difference_constraints={
+            "s_nationkey": [(0.0, 0.0), (0.0, 5.0)],
+            "s_acctbal": [(0.0, 100.0), (0.0, 2000.0)],
+        },
+        row_id="s_suppkey",
+    )
+    print(f"faithful Split minimal cover ({res.num_distinct_vectors} "
+          f"distinct distance vectors over {res.num_pairs} pairs):")
+    for dd in res.dds:
+        print(f"  {dd}")
 
     # --- discovery (reference Split: mine difference functions) ---
     mined = discover_dds(

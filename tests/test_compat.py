@@ -106,18 +106,23 @@ def test_compat_mfd_verification():
 
 
 def test_compat_dd_mining_difference_table():
-    """mining_dd.py flow: the reference difference-table format drives the
-    Split search; every mined DD's interval covers its qualifying pairs by
-    construction."""
+    """mining_dd.py flow: dd.Split now runs the FAITHFUL full search
+    (difference-table spaces, instance-exclusion reduce, minimal cover);
+    the three DDs the reference walkthrough explains must be mined with
+    exactly the reference's DDString rendering."""
     import desbordante_spark.compat as desbordante
 
     dd = desbordante.dd.algorithms.Split()
     dd.load_data(table=(f"{DS}/flights_dd.csv", ",", True))
     dd.execute(difference_table=(f"{DS}/flights_dd_dif_table.csv", ",", True))
     dds = dd.get_dds()
-    assert dds
     assert all(d.lo <= d.hi for d in dds)
-    assert any("Duration" in str(d) for d in dds)
+    rendered = {str(d) for d in dds}
+    assert {
+        "Departure [0, 0] ; Arrival [0, 0] -> Distance [0, 50]",
+        "Distance [0, 50] -> Duration [0, 15]",
+        "Departure [0, 3] ; Arrival [0, 3] -> Duration [0, 15]",
+    } <= rendered
 
 
 def test_compat_afd_mining():
