@@ -292,9 +292,11 @@ def agree_set_cover(
     pair_budget: int = 50_000_000,
 ) -> tuple[list[tuple[frozenset[str], int]], int]:
     """Route to the right exact agree-set factory: the subset-counting
-    lattice up to ``max_columns`` columns, then (with ``wide='pairwise'``)
-    the budgeted distributed pair stream; ``wide='error'`` (default)
-    keeps the hard ValueError for wider tables."""
+    lattice up to ``max_columns`` columns, then (with the default
+    ``wide='pairwise'``) the budgeted distributed pair stream;
+    ``wide='error'`` opts back into a hard ValueError for wider tables.
+    Either way ``pair_budget`` still guards the pairwise path (checked
+    against the pair mass BEFORE the join)."""
     if len(cols) > max_columns and wide == "pairwise":
         return compute_agree_sets_pairwise(df, cols, pair_budget=pair_budget)
     return compute_agree_sets(df, cols, max_columns=max_columns)
