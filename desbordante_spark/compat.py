@@ -225,9 +225,29 @@ class _FdMiner(_Algo):
                 )
             ]
         else:  # aid
-            from desbordante_spark.discovery.aid import discover_fds_aid
+            # the reference Aid binds ONLY the table option (aid.cpp:7-15
+            # MakeOptionsAvailable) — no max_lhs — and its pair schedule
+            # depends on file row order, which load_data preserves in
+            # _rid; the faithful search replays it exactly. A Spark
+            # DataFrame input (no file order) keeps the layout-
+            # independent engine sampler instead.
+            if self._rid is not None:
+                from desbordante_spark.discovery.aid_search import (
+                    discover_fds_aid_faithful,
+                )
 
-            fds = discover_fds_aid(df, max_lhs=k)
+                fds = [
+                    (lhs, rhs)
+                    for lhs, rhs in discover_fds_aid_faithful(
+                        self._df.select(*(self._cols + [self._rid])),
+                        columns=self._cols, row_id=self._rid,
+                    )
+                    if max_lhs is None or len(lhs) <= max_lhs
+                ]
+            else:
+                from desbordante_spark.discovery.aid import discover_fds_aid
+
+                fds = discover_fds_aid(df, max_lhs=k)
         self._fds = self._fd_objects(fds)
         return self
 
