@@ -71,9 +71,11 @@ def main():
 
     qs, os_ = e.queries(), e.oracle_sql()
     failed = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         if name not in os_:
             print(f"  {name}: NO ORACLE (rows-only check)")
             try:
@@ -94,7 +96,8 @@ def main():
                 print(f"    {p}")
         else:
             print(f"  {name}: OK")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} matched")
+    print(f"\n{checked - len(failed)}/{checked} matched"
+          + ("" if not only else f" (subset of {len(qs)} registered)"))
     sys.exit(1 if failed else 0)
 
 
