@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ALL_SECTIONS = ("ucc", "fd", "afd", "afd_deep", "aucc")
+ALL_SECTIONS = ("ucc", "fd", "afd", "afd_deep", "aucc", "aid")
 
 
 def wide_frame(spark, n_rows: int, n_cols: int):
@@ -231,12 +231,55 @@ def sec_aucc(spark, df, timed):
     }
 
 
+def sec_aid(spark, df, timed):
+    """AID: the faithful no-validation miner vs the exact HyFD answer at
+    the same scale. AID's value proposition is a JOB COUNT independent of
+    table width and lattice depth — cluster ranks once, a handful of
+    blocked pass jobs, zero validation — at the cost of an unvalidated
+    (possibly over-general) output. Recorded: wall, stop pass, job
+    count, negative-cover size, and the refutation-soundness check
+    (every exact FD within max_lhs=2 is covered by an AID FD with
+    lhs ⊆ the exact lhs)."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.discovery.aid_search import (
+        discover_fds_aid_faithful,
+    )
+    from desbordante_spark.discovery.hyfd import discover_fds_hybrid
+
+    base = df.withColumn(
+        "rid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    st: dict = {}
+
+    def run():
+        st.clear()
+        return discover_fds_aid_faithful(base, row_id="rid", stats=st)
+
+    fds, w = timed(run)
+    exact, w_hy = timed(lambda: discover_fds_hybrid(df, max_lhs=2))
+    covered = all(
+        any(rhs == g_rhs and set(g_lhs) <= set(lhs) for g_lhs, g_rhs in fds)
+        for lhs, rhs in exact
+    )
+    return {
+        "found": len(fds),
+        "passes": st["passes"],
+        "jobs": st["jobs"],
+        "neg_cover": st["neg_cover"],
+        "wall_sec": w,
+        "hyfd_exact_wall_sec": w_hy,
+        "refutation_sound_vs_exact": covered,
+    }
+
+
 SECTIONS = {
     "ucc": sec_ucc,
     "fd": sec_fd,
     "afd": sec_afd,
     "afd_deep": sec_afd_deep,
     "aucc": sec_aucc,
+    "aid": sec_aid,
 }
 
 
