@@ -16,7 +16,7 @@ and prints the JSON. Run SOLO (host timing rules, CLAUDE.md):
     python tools/lattice_bench.py [n_rows] [n_cols]
 
 SPARK_GRAFT_LATTICE_ONLY=aucc (comma-separated section names among
-ucc,fd,afd,afd_deep,aucc) re-measures only those sections, merging into
+ucc,fd,afd,afd_deep,aucc,aid) re-measures only those sections, merging into
 the existing BENCH_LATTICE.json — node counts are deterministic, so a
 partial re-run never mixes stale structure with fresh timing within a
 section.

@@ -20,6 +20,9 @@ runs — round 4's superlinear 1→4 ratio came from a stalled N=1 run.)
 
 Usage:
     python tools/scaling_bench.py [n_docs]
+    python tools/scaling_bench.py --md-only   # re-render BENCH.md from the
+                                              # recorded BENCH_SCALING.json /
+                                              # BENCH_LATTICE.json, no re-run
 """
 
 from __future__ import annotations
@@ -130,6 +133,27 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
+    md = render_md(result)
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+def render_md(result: dict) -> str:
+    """BENCH.md text from the recorded result JSON (plus BENCH_LATTICE.json
+    if present) — a pure function of the recorded numbers so `--md-only`
+    can refresh the narrative (e.g. merge a freshly measured lattice
+    section) without re-running the 8M-doc suite."""
+    n_docs = result["n_docs"]
+    lo = result["parallelism_N"]
+    hi = result["parallelism_4N"]
+    reps = result["reps_per_level"]
+    tp = {int(k): v for k, v in result["throughput_by_parallelism"].items()}
+    tp_lo, tp_hi = result["docs_per_sec_N"], result["docs_per_sec_4N"]
+    eff = tp_hi / (4.0 * tp_lo)
+    eff28 = tp[8] / (4.0 * tp[2])
+    wall_lo, wall_hi = result["wall_sec_N"], result["wall_sec_4N"]
+    stage_lo, stage_hi = result["stage_sec_N"], result["stage_sec_4N"]
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -147,8 +171,8 @@ per-stage warmup + min-of-k — the round-5 stall-protection protocol
 
 | parallelism | suite wall (s) | docs/sec |
 |---|---|---|
-| local[{lo}] (N) | {r_lo['value']:.2f} | {tp_lo:,.0f} |
-| local[{hi}] (4N) | {r_hi['value']:.2f} | {tp_hi:,.0f} |
+| local[{lo}] (N) | {wall_lo:.2f} | {tp_lo:,.0f} |
+| local[{hi}] (4N) | {wall_hi:.2f} | {tp_hi:,.0f} |
 
 **Scaling efficiency = {tp_hi:,.0f} / (4 × {tp_lo:,.0f}) = {eff:.3f}**
 (target ≥ 0.8 → {"MET" if eff >= 0.8 else "NOT MET"})
@@ -177,8 +201,8 @@ Per-stage seconds:
 | stage | local[{lo}] | local[{hi}] |
 |---|---|---|
 """
-    for k in r_lo["queries"]:
-        md += f"| {k} | {r_lo['queries'][k]:.2f} | {r_hi['queries'].get(k, float('nan')):.2f} |\n"
+    for k in stage_lo:
+        md += f"| {k} | {stage_lo[k]:.2f} | {stage_hi.get(k, float('nan')):.2f} |\n"
     lat_path = os.path.join(REPO, "BENCH_LATTICE.json")
     if os.path.exists(lat_path):
         with open(lat_path) as f:
@@ -213,6 +237,15 @@ named there), outputs verified IDENTICAL to levelwise in every pair:
         md += _pair("afd_deep", "pyro", "Pyro", "exact_scored")
         if "aucc" in lat:
             md += _pair("aucc", "pyroucc", "PyroUCC", "exact_scored")
+        if "aid" in lat:
+            a = lat["aid"]
+            md += (
+                f"| aid (vs HyFD exact) | {a['found']} | — |"
+                f" {a['jobs']} jobs, 0 validations |"
+                f" width-independent |"
+                f" {a['hyfd_exact_wall_sec']:.0f}s → {a['wall_sec']:.0f}s |"
+                f" {'covers exact' if a['refutation_sound_vs_exact'] else 'NO'} |\n"
+            )
         md += (
             "\nRegime note (honest guidance, not a caveat): `afd` is the\n"
             "boundary-DENSE regime — many minimal AFDs at levels 1-2 —\n"
@@ -235,6 +268,29 @@ named there), outputs verified IDENTICAL to levelwise in every pair:
             "<sections>` merges into the recorded JSON\nand refuses to "
             "mix frame sizes.\n"
         )
+        if "aid" in lat:
+            a = lat["aid"]
+            md += (
+                "\nThe `aid` row is a different trade, not a hybrid/"
+                "levelwise pair: the\nfaithful AID-FD miner never "
+                "validates — it ranks clusters once, runs\na fixed "
+                "blocked pass schedule ("
+                f"{a['passes']} passes, {a['jobs']} Spark jobs, negative "
+                f"cover\n{a['neg_cover']} agree sets), and inverts the "
+                "cover — so its job count is\nindependent of table width "
+                "and lattice depth, at the price of an\nunvalidated "
+                "(possibly over-general) output. Recorded check: every\n"
+                "exact FD (HyFD, max_lhs=2) is covered by an AID FD with "
+                "a subset\nLHS ("
+                f"{'holds' if a['refutation_sound_vs_exact'] else 'FAILS'}"
+                " on this frame). On this 16-column frame AID's wall is\n"
+                "the slower of the two — it is dominated by driver-side "
+                "cover\ninversion over the unbounded-depth output "
+                f"({a['found']} FDs vs HyFD's\nmax_lhs-capped set) — the "
+                "trade pays where validation cost, not\ninversion, "
+                "dominates: very wide tables and remote/expensive scans,\n"
+                "where AID's 2 jobs replace hundreds of validation jobs.\n"
+            )
     md += (
         "\n## Why N=1: the box's SMT ceiling, measured\n\n"
         "The 32 reported CPUs share SMT pipelines and memory bandwidth: a\n"
@@ -324,10 +380,20 @@ named there), outputs verified IDENTICAL to levelwise in every pair:
         "clause reads 4 bytes/span instead of the string bulk; the engine\n"
         "supports this today by passing a pre-projected frame.\n"
     )
+    return md
+
+
+def md_only() -> None:
+    with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
+        result = json.load(f)
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print(json.dumps(result))
+        f.write(render_md(result))
+    print("BENCH.md re-rendered from BENCH_SCALING.json"
+          " + BENCH_LATTICE.json")
 
 
 if __name__ == "__main__":
-    main()
+    if "--md-only" in sys.argv[1:]:
+        md_only()
+    else:
+        main()
