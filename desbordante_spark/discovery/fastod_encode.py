@@ -33,9 +33,11 @@ while same-type pairs compare natively; their (bounded, capped)
 DISTINCT value set is collected and ranked on the driver with the
 replicated comparator, then applied as a literal-map lookup — the
 reference holds the entire column in memory for the same step, so the
-driver-side distinct set is strictly cheaper. At scale the window
-pre-pass can be swapped for distinct→rank→broadcast-join per column;
-the output contract (identical rank order/equality) is unchanged.
+driver-side distinct set is strictly cheaper. Above ``small_table_rows``
+the global window (one reducer) is swapped per column for
+``_distinct_dense_rank`` — rank the distinct key set under a
+range-partitioned plan, null-safe join the ranks back — producing
+IDENTICAL ranks with no full-table single-partition sort.
 
 Caveat: ``std::sort`` demands a strict weak order; the mixed comparator
 can in principle be intransitive (int 2 < int 10 numerically while
@@ -166,11 +168,56 @@ def _mixed_rank_map(values: list[str]) -> dict[str, int]:
     return ranks
 
 
+def _distinct_dense_rank(df: DataFrame, key) -> DataFrame:
+    """Global dense rank of ``key``'s distinct values — nulls first at
+    rank 1 — WITHOUT a single-reducer sort: range-partition the distinct
+    set (disjoint ordered key ranges), rank within each partition under a
+    PARTITIONED window (no global funnel), then add per-partition offsets
+    computed from one tiny collect (≤ shuffle-partitions rows). Returns a
+    ``(_k, _r)`` frame with one row per distinct key (incl. the null
+    group). ``localCheckpoint`` pins the frame before the two reads
+    (offsets + join-back) because ``spark_partition_id`` must not be
+    recomputed across jobs."""
+    local = (
+        df.select(key.alias("_k"))
+        .distinct()
+        .repartitionByRange(F.col("_k").asc_nulls_first())
+        .withColumn("_p", F.spark_partition_id())
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("_p").orderBy(
+                    F.col("_k").asc_nulls_first()
+                )
+            ),
+        )
+        .localCheckpoint()
+    )
+    cnts = {
+        r["_p"]: r["m"]
+        for r in local.groupBy("_p").agg(F.max("_lr").alias("m")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for p in sorted(cnts):
+        offsets[p] = running
+        running += cnts[p]
+    if not offsets:  # empty input
+        return local.select("_k", F.lit(1).alias("_r"))
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])]
+    )
+    return local.select(
+        "_k", (F.col("_lr") + off_map[F.col("_p")]).cast("int").alias("_r")
+    )
+
+
 def typed_rank_encode(
     df: DataFrame,
     columns: list[str] | None = None,
     null_literal: str = "NULL",
     max_mixed_distinct: int = 100_000,
+    small_table_rows: int = 1_000_000,
 ) -> DataFrame:
     """Encode every column to its typed-comparator dense rank (int).
 
@@ -180,13 +227,23 @@ def typed_rank_encode(
     columns of ``df`` not in ``columns`` pass through unchanged; row
     multiplicity is preserved (row ORDER is not — Spark). Feed the
     result to ``discover_ods_fastod`` for string-typed datasets.
-    """
+
+    Scale routing: tables up to ``small_table_rows`` encode with one
+    ``dense_rank`` window per column in a single select (a global window
+    — one reducer — which at that size is cheaper than extra shuffles);
+    larger tables switch per column to ``_distinct_dense_rank`` (rank
+    the DISTINCT key set under a range-partitioned, windowed-per-
+    partition plan, then null-safe hash-join the ranks back), so no
+    reducer ever sorts the full table. Both paths produce identical
+    ranks."""
     cols = list(columns or df.columns)
     prof = {
         r["column"]: r["inferred_type"]
         for r in type_profile(df, cols, null_literal=null_literal).collect()
     }
+    big = df.count() > small_table_rows
     out_exprs = []
+    deferred: list[tuple[str, object]] = []  # big-path (column, key expr)
     for c in cols:
         v = F.col(c).cast("string")
         nullish = v.isNull() | (v == null_literal) | (v == "")
@@ -246,10 +303,28 @@ def typed_rank_encode(
             # string AND bigint columns: byte-wise raw-text order
             # (BigIntType : public StringType)
             key = F.when(nullish, F.lit(None)).otherwise(v)
-        out_exprs.append(
-            F.dense_rank()
-            .over(Window.orderBy(key.asc_nulls_first()))
-            .alias(c)
-        )
+        if big:
+            deferred.append((c, key))
+            out_exprs.append(F.col(f"__rank_{c}").alias(c))
+        else:
+            out_exprs.append(
+                F.dense_rank()
+                .over(Window.orderBy(key.asc_nulls_first()))
+                .alias(c)
+            )
     passthrough = [F.col(c) for c in df.columns if c not in cols]
-    return df.select(*out_exprs, *passthrough)
+    base = df
+    for c, key in deferred:
+        # rank the column's distinct keys (distributed — see
+        # _distinct_dense_rank), then null-safe hash-join them back; the
+        # rank side holds one row per distinct value, so the join never
+        # changes row multiplicity
+        ranked = _distinct_dense_rank(df, key).select(
+            F.col("_k").alias(f"__k_{c}"), F.col("_r").alias(f"__rank_{c}")
+        )
+        base = base.withColumn(f"__key_{c}", key).join(
+            ranked,
+            on=F.col(f"__key_{c}").eqNullSafe(F.col(f"__k_{c}")),
+            how="left",
+        )
+    return base.select(*out_exprs, *passthrough)

@@ -280,14 +280,20 @@ def _exploded_words(df: DataFrame, column: str) -> DataFrame:
 
 def top_k_words(df: DataFrame, column: str, k: int = 10) -> DataFrame:
     """Top-k most frequent words (data_stats.h:162-164). Deterministic
-    tie-break: frequency desc, then word asc."""
+    tie-break: frequency desc, then word asc.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its own top-k and only
+    k rows per partition reach the driver-side merge — so no reducer
+    ever holds the full vocabulary. The rank window after it runs over
+    exactly k rows (a single tiny partition is the right plan there)."""
     counts = _exploded_words(df, column).groupBy("word").agg(
         F.count(F.lit(1)).alias("freq")
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    order = [F.col("freq").desc(), F.col("word").asc()]
+    top = counts.orderBy(*order).limit(k)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("word", "freq", "rank")
     )
 
@@ -301,10 +307,11 @@ def top_k_chars(df: DataFrame, column: str, k: int = 10) -> DataFrame:
         .filter(F.col("ch") != "")
     )
     counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("ch").asc())
+    order = [F.col("freq").desc(), F.col("ch").asc()]
+    # TakeOrderedAndProject (partial per-partition top-k) — see top_k_words
+    top = counts.orderBy(*order).limit(k)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("ch", "freq", "rank")
     )
 

@@ -802,3 +802,52 @@ def test_aucc_auto_routing(spark):
     got = discover_auccs_auto(dense, max_size=1, max_error=0.1, stats=st)
     assert st["chosen"] == "levelwise" and st["density"] is None
     assert got == discover_auccs(dense, max_size=1, max_error=0.1)
+
+
+def test_top_k_plan_is_partial_topk(spark):
+    """top_k_words / top_k_chars must never sort the full vocabulary in
+    one reducer: the plan is TakeOrderedAndProject (per-partition top-k,
+    k-row merge), and the only Window runs over the k survivors."""
+    from desbordante_spark.operators.stats import top_k_chars, top_k_words
+
+    df = spark.createDataFrame(
+        [("the quick brown fox the lazy dog the end",),
+         ("quick brown quick",), (None,), ("",)],
+        "text string",
+    )
+    for fn, key in ((top_k_words, "word"), (top_k_chars, "ch")):
+        out = fn(df, "text", k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        # the window sits ABOVE the limit (ranks only k rows)
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+        rows = out.collect()
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        # 'the' and 'quick' tie at 3; word-asc tie-break puts 'quick' first
+        assert rows[0][key] in ("quick", " ")
+
+
+def test_typed_rank_encode_distributed_path_equivalence(spark):
+    """Above small_table_rows, typed_rank_encode swaps each column's
+    global dense_rank window (single-reducer sort of the whole table)
+    for a distinct-set rank + null-safe join-back. Both paths must
+    produce identical ranks, and the big path's executed plan must not
+    funnel the full table through an unpartitioned Window."""
+    from desbordante_spark.discovery.fastod_encode import typed_rank_encode
+
+    rows = [
+        (i,
+         str(i % 97),                                   # int-typed
+         f"w{i % 53}",                                  # string-typed
+         None if i % 11 == 0 else f"{(i * 37) % 500}.25")  # double + nulls
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "rid int, a string, b string, c string")
+    small = typed_rank_encode(df, ["a", "b", "c"])
+    big = typed_rank_encode(df, ["a", "b", "c"], small_table_rows=100)
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, big.collect()))
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # the ranked sides are checkpointed; the remaining plan is joins —
+    # no Window node may touch the full-table side
+    assert "Window" not in plan, plan
