@@ -926,6 +926,51 @@ def _q_dynamic_fd_incremental_orders(
     )
 
 
+def _q_profile_incremental_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable per-partition profile state (operators/profile_state):
+    a deterministic base/delta split of `documents` runs the snapshot
+    chain — init(base) then apply_incremental(delta), touching only the
+    delta's partitions — and the rollup must equal a full-table profile.
+    The oracle computes that full-table profile in plain SQL; only the
+    EXACT fields are compared (the HLL distinct estimate is
+    engine-specific and is gated in tests/test_profile_state.py)."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.profile_state import (
+        profile_apply_incremental,
+        profile_from_state,
+        profile_state_init,
+    )
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "part_key", F.substring(h, 1, 1)
+    )
+    split = F.substring(h, 2, 1)
+    base = docs.filter(split < "8")
+    delta = docs.filter(split >= "8")
+    cols = ["lang", "source", "n_chars"]
+    st = profile_state_init(base, columns=cols)
+    st = profile_apply_incremental(st, delta, columns=cols)
+    p = profile_from_state(st)
+    return p.select(
+        F.col("column").alias("col_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("null_count").cast("long").alias("null_count"),
+        F.col("empty_count").cast("long").alias("empty_count"),
+        F.col("count_values").cast("long").alias("count_values"),
+        # n_chars is integer-valued: the double-summed state casts back
+        # losslessly below 2^53
+        F.col("min_num").cast("long").alias("min_num"),
+        F.col("max_num").cast("long").alias("max_num"),
+        F.col("sum_num").cast("long").alias("sum_num"),
+        "min_str",
+        "max_str",
+    )
+
+
 def _q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1327,7 +1372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — verification primitives (one per §2.3 family) —
         "ucc_violations_orders_custkey": _q_ucc_violations_orders_custkey,
         "fd_violations_orders": _q_fd_violations_orders,
-        "fd_metrics_orders": _q_fd_metrics_orders,
         "afd_metrics_lineitem": _q_afd_metrics_lineitem,
         "pfd_metrics_orders": _q_pfd_metrics_orders,
         "ind_metrics_lineitem_orders": _q_ind_metrics_lineitem_orders,
@@ -1344,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_equality_docs": _q_span_equality_docs,
         # — statistics / profiling (§2.4) —
         "stats_profile_lineitem": _q_stats_profile_lineitem,
+        "profile_incremental_documents": _q_profile_incremental_documents,
         "type_inference_orders": _q_type_inference_orders,
         "word_stats_documents": _q_word_stats_documents,
         "drift_events_by_type": _q_drift_events_by_type,
@@ -1379,6 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_candidates_cities": _q_typo_candidates_cities,
         "typed_rank_mixedfmt": _q_typed_rank_mixedfmt,
         # ---- position 51+ : same-family variants (check_oracle/pytest) ----
+        # fd_metrics_orders demoted round 6 (same FD-verify family as
+        # fd_violations_orders) to make room for the mergeable-profile gate
+        "fd_metrics_orders": _q_fd_metrics_orders,
         "ucc_metrics_orders_custkey": _q_ucc_metrics_orders_custkey,
         "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
@@ -2419,6 +2467,47 @@ SELECT 'l_returnflag',
        CAST(max(CASE WHEN l_returnflag <> '' THEN l_returnflag END) AS VARCHAR),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM lineitem
+""",
+        # incremental ≡ full: the Spark side runs the base+delta snapshot
+        # chain; the oracle is the FULL-table profile (exact fields only)
+        "profile_incremental_documents": """
+SELECT 'lang' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS empty_count,
+       CAST(count(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 END)
+            AS BIGINT) AS count_values,
+       CAST(NULL AS BIGINT) AS min_num,
+       CAST(NULL AS BIGINT) AS max_num,
+       CAST(NULL AS BIGINT) AS sum_num,
+       min(CASE WHEN lang <> '' THEN lang END) AS min_str,
+       max(CASE WHEN lang <> '' THEN lang END) AS max_str
+FROM documents
+UNION ALL
+SELECT 'source',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(CASE WHEN source IS NOT NULL AND source <> '' THEN 1 END)
+            AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       min(CASE WHEN source <> '' THEN source END),
+       max(CASE WHEN source <> '' THEN source END)
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST(count(n_chars) AS BIGINT),
+       CAST(min(n_chars) AS BIGINT),
+       CAST(max(n_chars) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM documents
 """,
         "stats_profile_lineitem_approx": """
 SELECT 'l_quantity' AS col_name,

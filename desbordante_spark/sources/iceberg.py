@@ -31,6 +31,7 @@ __all__ = [
     "read_incremental",
     "snapshot_incremental_fd_verify",
     "snapshot_incremental_ucc_verify",
+    "snapshot_incremental_profile",
 ]
 
 
@@ -149,3 +150,29 @@ def snapshot_incremental_ucc_verify(
         state, columns, totals, inserts=delta
     )
     return new_state, new_totals, metrics_row_from_totals(new_totals)
+
+
+def snapshot_incremental_profile(
+    spark: SparkSession,
+    table: str,
+    state: DataFrame,
+    start_snapshot_id: str,
+    end_snapshot_id: str | None = None,
+    columns=None,
+    by: str = "part_key",
+):
+    """Snapshot-to-snapshot incremental column profile: the append-only
+    delta between two Iceberg snapshots updates the mergeable per-partition
+    profile state (``operators/profile_state`` — counts/min/max/sums exact,
+    distincts as HLL sketches), touching only the delta's partitions.
+    Returns ``(new_state, profile_df)``; persist the state as parquet
+    partitioned by ``partition`` and copy-on-write only touched partitions'
+    files (the SuiteRunner checkpoint pattern)."""
+    from desbordante_spark.operators.profile_state import (
+        profile_apply_incremental,
+        profile_from_state,
+    )
+
+    delta = read_incremental(spark, table, start_snapshot_id, end_snapshot_id)
+    new_state = profile_apply_incremental(state, delta, columns=columns, by=by)
+    return new_state, profile_from_state(new_state)

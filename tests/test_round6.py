@@ -519,6 +519,8 @@ def test_combined_driver_entries_match_components(spark):
         "gfd_dot_directors",
         "dd_discovery_supplier",
         "cfd_discovery_orders",
+        "dynamic_fd_incremental_orders",
+        "profile_incremental_documents",
     ):
         assert must in first50, must
 
