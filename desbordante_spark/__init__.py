@@ -35,6 +35,11 @@ from desbordante_spark.operators.drift import quantile_drift
 from desbordante_spark.operators.fd import fd_verify, fd_violations
 from desbordante_spark.operators.ind import ind_verify
 from desbordante_spark.operators.mfd import mfd_verify
+from desbordante_spark.operators.profile_state import (
+    profile_apply_incremental,
+    profile_from_state,
+    profile_state_init,
+)
 from desbordante_spark.operators.schema_infer import type_profile
 from desbordante_spark.operators.ucc import ucc_verify, ucc_violations
 
@@ -52,6 +57,9 @@ __all__ = [
     "mfd_verify",
     "type_profile",
     "quantile_drift",
+    "profile_state_init",
+    "profile_apply_incremental",
+    "profile_from_state",
 ]
 
 __version__ = "0.1.0"
