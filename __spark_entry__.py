@@ -971,6 +971,35 @@ def _q_profile_incremental_documents(
     )
 
 
+def _q_drift_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-from-state (operators/profile_state): a histogram state built
+    on a base slice of `events` and advanced with a delta slice — the
+    delta deliberately touches ONLY the 'click' partition, so every other
+    event_type's state rows ride the anti-join pass-through — must yield
+    the SAME KS/chi² verdicts as a full-table drift run. The oracle is the
+    full-table drift SQL (histogram counts are exact, so incremental ≡
+    full bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.profile_state import (
+        drift_from_state,
+        hist_apply_incremental,
+        hist_state_init,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    split = F.md5(F.coalesce(F.col("event_id").cast("string"), F.lit("x")))
+    is_delta = (F.substring(split, 1, 1) >= "c") & (
+        F.coalesce(F.col("event_type"), F.lit("")) == "click"
+    )
+    specs = {"value": 10.0}
+    st = hist_state_init(ev.filter(~is_delta), specs, by="event_type")
+    st = hist_apply_incremental(
+        st, ev.filter(is_delta), specs, by="event_type"
+    )
+    return drift_from_state(st, "value", ks_threshold=0.1)
+
+
 def _q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1431,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucc_metrics_lineitem_pk": _q_ucc_metrics_lineitem_pk,
         "ind_missing_events_customer": _q_ind_missing_events_customer,
         "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
+        "drift_incremental_events": _q_drift_incremental_events,
         "top_words_documents": _q_top_words_documents,
         "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
         "mfd_highlights_orders": _q_mfd_highlights_orders,
@@ -2380,6 +2410,57 @@ FROM agg
 """
 
 
+_DRIFT_EVENTS_SQL = """
+WITH b AS (
+  SELECT event_type AS partition,
+         CAST(CAST(floor(value / 10.0) AS BIGINT) AS VARCHAR) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT bucket, sum(cnt) AS tb FROM b GROUP BY 1),
+grid AS (SELECT p.partition, t.bucket, t.tb
+         FROM (SELECT DISTINCT partition FROM b) p CROSS JOIN tot t),
+g AS (SELECT grid.partition, grid.bucket,
+             coalesce(b.cnt, 0) AS o1,
+             grid.tb - coalesce(b.cnt, 0) AS o2
+      FROM grid LEFT JOIN b
+        ON b.partition = grid.partition AND b.bucket = grid.bucket),
+g2 AS (SELECT *,
+              sum(o1) OVER (PARTITION BY partition) AS n1,
+              sum(o2) OVER (PARTITION BY partition) AS n2
+       FROM g),
+g3 AS (SELECT *,
+              abs(CAST(sum(o1) OVER w AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(sum(o2) OVER w AS DOUBLE) / CAST(n2 AS DOUBLE))
+                AS cdf_diff,
+              CASE WHEN o1 + o2 > 0 THEN
+                (CAST(o1 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                * (CAST(o1 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                +
+                (CAST(o2 AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                * (CAST(o2 AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                / (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              ELSE 0.0 END AS chi2_term
+       FROM g2
+       WINDOW w AS (PARTITION BY partition
+                    ORDER BY coalesce(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+                    ROWS UNBOUNDED PRECEDING)),
+m AS (SELECT partition,
+             CAST(max(n1) AS BIGINT) AS n_rows,
+             CAST(max(n2) AS BIGINT) AS n_baseline,
+             max(cdf_diff) AS ks_stat,
+             sum(chi2_term) AS chi2_stat
+      FROM g3 GROUP BY partition)
+SELECT partition, n_rows, n_baseline, ks_stat, chi2_stat,
+       CAST(CASE WHEN ks_stat > 0.1 THEN 1 ELSE 0 END AS INT) AS drifted
+FROM m WHERE n_rows > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "type_inference_orders": _TYPE_INFER_SQL,
@@ -2602,55 +2683,11 @@ r AS (SELECT word, CAST(freq AS BIGINT) AS freq,
       FROM c)
 SELECT word, freq, rank FROM r WHERE rank <= 10
 """,
-        "drift_events_by_type": """
-WITH b AS (
-  SELECT event_type AS partition,
-         CAST(CAST(floor(value / 10.0) AS BIGINT) AS VARCHAR) AS bucket,
-         count(*) AS cnt
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-tot AS (SELECT bucket, sum(cnt) AS tb FROM b GROUP BY 1),
-grid AS (SELECT p.partition, t.bucket, t.tb
-         FROM (SELECT DISTINCT partition FROM b) p CROSS JOIN tot t),
-g AS (SELECT grid.partition, grid.bucket,
-             coalesce(b.cnt, 0) AS o1,
-             grid.tb - coalesce(b.cnt, 0) AS o2
-      FROM grid LEFT JOIN b
-        ON b.partition = grid.partition AND b.bucket = grid.bucket),
-g2 AS (SELECT *,
-              sum(o1) OVER (PARTITION BY partition) AS n1,
-              sum(o2) OVER (PARTITION BY partition) AS n2
-       FROM g),
-g3 AS (SELECT *,
-              abs(CAST(sum(o1) OVER w AS DOUBLE) / CAST(n1 AS DOUBLE)
-                  - CAST(sum(o2) OVER w AS DOUBLE) / CAST(n2 AS DOUBLE))
-                AS cdf_diff,
-              CASE WHEN o1 + o2 > 0 THEN
-                (CAST(o1 AS DOUBLE)
-                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                * (CAST(o1 AS DOUBLE)
-                   - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                / (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                +
-                (CAST(o2 AS DOUBLE)
-                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                * (CAST(o2 AS DOUBLE)
-                   - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                / (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-              ELSE 0.0 END AS chi2_term
-       FROM g2
-       WINDOW w AS (PARTITION BY partition
-                    ORDER BY coalesce(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
-                    ROWS UNBOUNDED PRECEDING)),
-m AS (SELECT partition,
-             CAST(max(n1) AS BIGINT) AS n_rows,
-             CAST(max(n2) AS BIGINT) AS n_baseline,
-             max(cdf_diff) AS ks_stat,
-             sum(chi2_term) AS chi2_stat
-      FROM g3 GROUP BY partition)
-SELECT partition, n_rows, n_baseline, ks_stat, chi2_stat,
-       CAST(CASE WHEN ks_stat > 0.1 THEN 1 ELSE 0 END AS INT) AS drifted
-FROM m WHERE n_rows > 0
-""",
+        # drift_incremental_events shares this SQL verbatim: the histogram
+        # state is exact, so the incremental chain MUST equal the
+        # full-table drift run
+        "drift_events_by_type": _DRIFT_EVENTS_SQL,
+        "drift_incremental_events": _DRIFT_EVENTS_SQL,
         "od_violations_lineitem": """
 WITH g AS (
   SELECT l_orderkey, l_linenumber,

@@ -36,6 +36,9 @@ from desbordante_spark.operators.fd import fd_verify, fd_violations
 from desbordante_spark.operators.ind import ind_verify
 from desbordante_spark.operators.mfd import mfd_verify
 from desbordante_spark.operators.profile_state import (
+    drift_from_state,
+    hist_apply_incremental,
+    hist_state_init,
     profile_apply_incremental,
     profile_from_state,
     profile_state_init,
@@ -60,6 +63,9 @@ __all__ = [
     "profile_state_init",
     "profile_apply_incremental",
     "profile_from_state",
+    "hist_state_init",
+    "hist_apply_incremental",
+    "drift_from_state",
 ]
 
 __version__ = "0.1.0"

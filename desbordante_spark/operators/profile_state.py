@@ -30,6 +30,12 @@ Value semantics match ``stats.profile`` (reference data_stats.h:117-118):
 nulls and empty strings are excluded from value statistics and reported as
 ``null_count`` / ``empty_count``. Sketch domain is the value cast to string
 (one sketch type per state, init and delta consistent).
+
+A companion HISTOGRAM state (``hist_state_init`` / ``hist_apply_incremental``)
+carries per-(partition, column, bucket) counts under ``drift.histogram_sketch``'s
+fixed-width / discrete bucket rule — exact, so incremental ≡ full bit-for-bit —
+and ``drift_from_state`` runs the KS/chi² drift verdict between partition
+snapshots from that state alone, with no raw-table re-read.
 """
 
 from __future__ import annotations
@@ -45,6 +51,10 @@ __all__ = [
     "profile_state_merge",
     "profile_apply_incremental",
     "profile_from_state",
+    "hist_state_init",
+    "hist_state_merge",
+    "hist_apply_incremental",
+    "drift_from_state",
 ]
 
 _NUMERIC = (
@@ -167,6 +177,106 @@ def profile_apply_incremental(
     ).localCheckpoint(eager=True)  # pin the delta-sized slice so snapshot
     # chains do not stack lineage over every prior delta
     return untouched.unionByName(merged)
+
+
+def _hist_bucket(c: str, spec) -> F.Column:
+    """Bucket expression for one column — EXACTLY ``drift.histogram_sketch``'s
+    rule (``'discrete'`` → the value itself; a float → fixed-width
+    ``floor(v / width)``), so ``drift_from_state`` over an incrementally
+    maintained state equals ``drift_metrics(histogram_sketch(full_table))``
+    bit-for-bit. The global-min/max ``bins`` mode is deliberately absent:
+    its bin edges depend on the whole table, so it is not incrementally
+    mergeable."""
+    v = F.col(c)
+    if spec == "discrete":
+        return v.cast("string")
+    return F.floor(v / F.lit(float(spec))).cast("string")
+
+
+def hist_state_init(
+    df: DataFrame,
+    specs: dict[str, float | str],
+    by: str = "part_key",
+) -> DataFrame:
+    """Mergeable histogram state: ``(partition, column, bucket, cnt)`` rows
+    for every column in ``specs`` ({column: bucket_width | 'discrete'}),
+    built in ONE grouped scan (array + explode, no Expand; null values
+    carry no position in a distribution and are dropped, matching
+    ``drift.histogram_sketch``). Counts merge by ``+`` — the whole state
+    is exact, so snapshot-incremental maintenance is lossless."""
+    if not specs:
+        raise ValueError("specs must name at least one column")
+    pairs = [
+        F.struct(F.lit(c).alias("column"), _hist_bucket(c, s).alias("bucket"))
+        for c, s in specs.items()
+    ]
+    e = df.select(
+        F.col(by).cast("string").alias("partition"),
+        F.explode(F.array(*pairs)).alias("cb"),
+    )
+    return (
+        e.where(F.col("cb.bucket").isNotNull())
+        .groupBy(
+            "partition",
+            F.col("cb.column").alias("column"),
+            F.col("cb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_state_merge(*states: DataFrame) -> DataFrame:
+    """Merge histogram states (same ``specs``!): counts sum — one hash
+    aggregation, exact."""
+    out = states[0]
+    for st in states[1:]:
+        out = out.unionByName(st)
+    return out.groupBy("partition", "column", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_apply_incremental(
+    state: DataFrame,
+    delta: DataFrame,
+    specs: dict[str, float | str],
+    by: str = "part_key",
+) -> DataFrame:
+    """Apply an append-only snapshot delta to a histogram state — the same
+    touched-partition shape as ``profile_apply_incremental`` (untouched
+    partitions pass through by anti-join and are never re-aggregated).
+    Exact: incremental ≡ full recompute bit-for-bit."""
+    delta_state = hist_state_init(delta, specs, by=by)
+    touched = delta_state.select("partition").distinct()
+    untouched = state.join(F.broadcast(touched), ["partition"], "left_anti")
+    merged = hist_state_merge(
+        state.join(F.broadcast(touched), ["partition"], "left_semi"),
+        delta_state,
+    ).localCheckpoint(eager=True)  # pin the delta-sized slice (see
+    # profile_apply_incremental)
+    return untouched.unionByName(merged)
+
+
+def drift_from_state(
+    state: DataFrame,
+    column: str,
+    baseline_partition: str | None = None,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Distribution drift (KS / chi²) between partition snapshots computed
+    from the maintained histogram state ALONE — no raw-table re-read
+    (north rule: drift detection over histogram sketches between partition
+    snapshots). The state slice for ``column`` IS a
+    ``drift.histogram_sketch`` frame, so the verdict equals
+    ``drift_metrics(histogram_sketch(full_table))`` exactly."""
+    from desbordante_spark.operators.drift import drift_metrics
+
+    sk = state.filter(F.col("column") == column).select(
+        "partition", "bucket", "cnt"
+    )
+    return drift_metrics(
+        sk, baseline_partition=baseline_partition, ks_threshold=ks_threshold
+    )
 
 
 def profile_from_state(

@@ -10,6 +10,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from desbordante_spark.operators.profile_state import (
+    drift_from_state,
+    hist_apply_incremental,
+    hist_state_init,
     profile_apply_incremental,
     profile_from_state,
     profile_state_init,
@@ -55,6 +58,20 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001") -> None:
         map(tuple, full.select(*exact_cols).collect())
     )
     print(f"incremental == full recompute on exact fields: {same}")
+
+    # the histogram state rides the same snapshot chain (exact counts, so
+    # incremental == full bit-for-bit) and answers the drift question
+    # between partition snapshots WITHOUT re-reading any raw rows
+    specs = {"n_chars": 200.0}
+    hist = hist_state_init(base, specs)
+    hist = hist_apply_incremental(hist, delta, specs)
+    print("drift verdicts from the maintained histogram state:")
+    for r in (
+        drift_from_state(hist, "n_chars", ks_threshold=0.1)
+        .orderBy("partition").limit(5).collect()
+    ):
+        print(f"  part={r['partition']}: ks={r['ks_stat']:.4f} "
+              f"chi2={r['chi2_stat']:.2f} drifted={r['drifted']}")
 
 
 if __name__ == "__main__":

@@ -165,6 +165,96 @@ def test_state_survives_parquet_roundtrip(spark, tmp_path):
     assert inc_exact == ful_exact
 
 
+SPECS = {"x": 2.0, "s": "discrete"}
+
+
+def _hist_rows(state):
+    return sorted(
+        (r["partition"], r["column"], r["bucket"], r["cnt"])
+        for r in state.collect()
+    )
+
+
+def test_hist_incremental_equals_full(spark):
+    """Histogram state is exact: a chain of two deltas equals one full init
+    bit-for-bit (counts merge by +)."""
+    from desbordante_spark.operators.profile_state import (
+        hist_apply_incremental,
+        hist_state_init,
+    )
+
+    base = _frame(spark, 3000)
+    d1 = _frame(spark, 500, part_mod=1, start=100_000)
+    d2 = _frame(spark, 400, part_mod=2, start=200_000)
+    st = hist_state_init(base, SPECS)
+    st = hist_apply_incremental(st, d1, SPECS)
+    st = hist_apply_incremental(st, d2, SPECS)
+    full = hist_state_init(base.unionByName(d1).unionByName(d2), SPECS)
+    assert _hist_rows(st) == _hist_rows(full)
+
+
+def test_hist_untouched_partitions_carry_through(spark):
+    """A delta touching only p0 leaves every other partition's histogram
+    rows identical (anti-join pass-through) and changes p0's."""
+    from desbordante_spark.operators.profile_state import (
+        hist_apply_incremental,
+        hist_state_init,
+    )
+
+    base = _frame(spark, 2000)
+    delta = _frame(spark, 300, part_mod=1, start=50_000)  # p0 only
+    st0 = hist_state_init(base, SPECS).localCheckpoint(eager=True)
+    st1 = hist_apply_incremental(st0, delta, SPECS)
+    rest = lambda st: [  # noqa: E731
+        t for t in _hist_rows(st) if t[0] != "p0"
+    ]
+    assert rest(st0) == rest(st1)
+    tot = lambda st: sum(  # noqa: E731
+        t[3] for t in _hist_rows(st) if t[0] == "p0"
+    )
+    assert tot(st1) > tot(st0)
+
+
+def test_drift_from_state_matches_direct(spark):
+    """drift_from_state over an incrementally maintained histogram state
+    equals drift_metrics(histogram_sketch(full_table)) row-for-row, for
+    both the fixed-width and the discrete bucket rule."""
+    from desbordante_spark.operators.drift import (
+        drift_metrics,
+        histogram_sketch,
+    )
+    from desbordante_spark.operators.profile_state import (
+        drift_from_state,
+        hist_apply_incremental,
+        hist_state_init,
+    )
+
+    base = _frame(spark, 2500)
+    delta = _frame(spark, 600, part_mod=2, start=90_000)
+    full = base.unionByName(delta)
+    st = hist_state_init(base, SPECS)
+    st = hist_apply_incremental(st, delta, SPECS)
+
+    for col, kw in (("x", {"bucket_width": 2.0}), ("s", {"discrete": True})):
+        got = sorted(
+            tuple(r) for r in drift_from_state(st, col).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in drift_metrics(
+                histogram_sketch(full, col, "part_key", **kw)
+            ).collect()
+        )
+        assert got == want, col
+
+
+def test_hist_requires_specs(spark):
+    from desbordante_spark.operators.profile_state import hist_state_init
+
+    with pytest.raises(ValueError, match="at least one column"):
+        hist_state_init(_frame(spark, 10), {})
+
+
 def test_no_delta_noop_columns_param(spark):
     """columns= restricts the profiled set; the partition column itself is
     never profiled."""
