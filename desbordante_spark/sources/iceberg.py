@@ -32,6 +32,7 @@ __all__ = [
     "snapshot_incremental_fd_verify",
     "snapshot_incremental_ucc_verify",
     "snapshot_incremental_profile",
+    "snapshot_incremental_drift",
 ]
 
 
@@ -176,3 +177,35 @@ def snapshot_incremental_profile(
     delta = read_incremental(spark, table, start_snapshot_id, end_snapshot_id)
     new_state = profile_apply_incremental(state, delta, columns=columns, by=by)
     return new_state, profile_from_state(new_state)
+
+
+def snapshot_incremental_drift(
+    spark: SparkSession,
+    table: str,
+    state: DataFrame,
+    specs: dict,
+    start_snapshot_id: str,
+    end_snapshot_id: str | None = None,
+    by: str = "part_key",
+    column: str | None = None,
+    ks_threshold: float = 0.1,
+):
+    """Snapshot-to-snapshot drift: the append-only delta folds into the
+    mergeable histogram state (exact — incremental ≡ full recompute), then
+    the KS/chi² verdict runs from state alone, never re-reading rows that
+    arrived before ``start_snapshot_id``. Returns ``(new_state, drift_df)``;
+    ``column`` defaults to the single key of ``specs``."""
+    from desbordante_spark.operators.profile_state import (
+        drift_from_state,
+        hist_apply_incremental,
+    )
+
+    if column is None:
+        if len(specs) != 1:
+            raise ValueError("column= required when specs has several keys")
+        column = next(iter(specs))
+    delta = read_incremental(spark, table, start_snapshot_id, end_snapshot_id)
+    new_state = hist_apply_incremental(state, delta, specs, by=by)
+    return new_state, drift_from_state(
+        new_state, column, ks_threshold=ks_threshold
+    )
