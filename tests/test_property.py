@@ -128,3 +128,54 @@ def test_aucc_miners_match_bruteforce(spark, rows, max_error):
     assert [s for s, _ in level] == [s for s, _ in want]
     for (_, got_e), (_, want_e) in zip(level, want):
         assert got_e == pytest.approx(want_e, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+           st.tuples(
+               st.integers(0, 2),                     # partition 0..2
+               st.one_of(st.none(),
+                         st.integers(-20, 20)),       # numeric value
+               st.sampled_from(["a", "b", None]),     # discrete value
+           ),
+           min_size=1, max_size=30,
+       ),
+       cut=st.integers(0, 29))
+def test_hist_state_incremental_matches_full_and_bruteforce(
+    spark, rows, cut
+):
+    """For a random frame and a random base/delta split, the incrementally
+    folded histogram state equals both a one-shot init and a brute-force
+    Python bucket count (fixed-width AND discrete rules)."""
+    from desbordante_spark.operators.profile_state import (
+        hist_apply_incremental,
+        hist_state_init,
+    )
+
+    specs = {"x": 5.0, "s": "discrete"}
+    data = [(f"p{p}", x, s) for p, x, s in rows]
+    df = spark.createDataFrame(data, "part_key string, x long, s string")
+    cut = min(cut, len(data))
+    base, delta = data[:cut], data[cut:]
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        d, "part_key string, x long, s string"
+    )
+    st_full = hist_state_init(df, specs)
+    if base and delta:
+        st_inc = hist_apply_incremental(
+            hist_state_init(mk(base), specs), mk(delta), specs
+        )
+    else:
+        st_inc = st_full
+    got_full = sorted(map(tuple, st_full.collect()))
+    got_inc = sorted(map(tuple, st_inc.collect()))
+    want = Counter()
+    for p, x, s in data:
+        if x is not None:
+            want[(p, "x", str(x // 5))] += 1
+        if s is not None:
+            want[(p, "s", s)] += 1
+    brute = sorted((p, c, b, n) for (p, c, b), n in want.items())
+    assert got_full == brute
+    assert got_inc == brute

@@ -97,7 +97,10 @@ def main() -> None:
         (
             generate_documents(spark, n_docs, n_partitions=64,
                                n_part_keys=64)
-            .select("doc_id", "part_key")
+            # n_spans feeds the drift section below; Parquet column pruning
+            # keeps the UCC scans unaffected by the extra column
+            .select("doc_id", "part_key",
+                    F.size("spans").alias("n_spans"))
             .write.mode("overwrite").parquet(docs_path)
         )
         base = spark.read.parquet(docs_path)
@@ -125,6 +128,7 @@ def main() -> None:
                 F.concat(F.lit(f"new{b}_"), F.col("id").cast("string"))
                 .alias("doc_id"),
                 F.lit("pNEW").alias("part_key"),
+                ((F.col("id") % 16) + 1).cast("int").alias("n_spans"),
             )
             dupes = spark.range(500).select(
                 F.concat(
@@ -132,6 +136,7 @@ def main() -> None:
                     ((F.col("id") * 7919 + b) % n_docs).cast("string"),
                 ).alias("doc_id"),
                 F.lit(hot).alias("part_key"),
+                ((F.col("id") % 16) + 1).cast("int").alias("n_spans"),
             )
             p = f"{stage}/delta_{b}"
             fresh.unionByName(dupes).coalesce(2).write.mode(
@@ -227,6 +232,58 @@ def main() -> None:
                  if inc_rows.get(p) != full_rows.get(p)},
             )
 
+        # ================= drift-from-state vs full drift =================
+        # Same snapshots, the distribution question: full recompute builds
+        # the histogram over base ∪ deltas every snapshot (linear in table
+        # size); the state path folds ONLY the delta into the mergeable
+        # histogram state (exact counts — incremental ≡ full bit-for-bit)
+        # and runs KS/chi² on the state, which is |partitions| × |buckets|
+        # rows (~1k) — effectively free. Verdicts must match exactly.
+        from desbordante_spark.operators.drift import (
+            drift_metrics,
+            histogram_sketch,
+        )
+        from desbordante_spark.operators.profile_state import (
+            drift_from_state,
+            hist_apply_incremental,
+            hist_state_init,
+        )
+
+        specs = {"n_spans": 1.0}
+        t = time.monotonic()
+        hist = hist_state_init(base, specs).localCheckpoint(eager=True)
+        drift_state_init_sec = time.monotonic() - t
+
+        def _verdicts(df):
+            return sorted(map(tuple, df.collect()))
+
+        # warmup for the same page-cache reason as the UCC section
+        drift_metrics(
+            histogram_sketch(base, "n_spans", "part_key", bucket_width=1.0)
+        ).collect()
+
+        drift_full_secs, drift_inc_secs = [], []
+        cur = base
+        for b in range(n_batches):
+            cur = cur.unionByName(deltas[b])
+            t = time.monotonic()
+            full_v = _verdicts(
+                drift_metrics(
+                    histogram_sketch(
+                        cur, "n_spans", "part_key", bucket_width=1.0
+                    )
+                )
+            )
+            drift_full_secs.append(time.monotonic() - t)
+
+            t = time.monotonic()
+            hist = hist_apply_incremental(
+                hist, deltas[b], specs
+            ).localCheckpoint(eager=True)
+            inc_v = _verdicts(drift_from_state(hist, "n_spans"))
+            drift_inc_secs.append(time.monotonic() - t)
+            assert inc_v == full_v, (b, inc_v[:3], full_v[:3])
+
         out = {
             "metric": "incremental_vs_full_verify",
             "n_docs": n_docs,
@@ -239,6 +296,15 @@ def main() -> None:
             "incremental_sec": [round(x, 3) for x in inc_secs],
             "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
             "verdicts_match": True,
+            "drift": {
+                "state_init_sec": round(drift_state_init_sec, 3),
+                "full_recompute_sec": [round(x, 3) for x in drift_full_secs],
+                "incremental_sec": [round(x, 3) for x in drift_inc_secs],
+                "speedup": round(
+                    sum(drift_full_secs) / max(sum(drift_inc_secs), 1e-9), 2
+                ),
+                "verdicts_match": True,
+            },
         }
         print(json.dumps(out))
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
