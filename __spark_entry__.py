@@ -971,6 +971,47 @@ def _q_profile_incremental_documents(
     )
 
 
+def _q_profile_lineage_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-partition LINEAGE view of the incrementally maintained
+    profile state (north rule: checkpoints carry per-partition lineage +
+    metrics rows): same snapshot chain as profile_incremental_documents,
+    rolled up with per_partition=True — every exact field must equal a
+    plain per-partition SQL profile of the full table."""
+    from pyspark.sql import functions as F
+
+    from desbordante_spark.operators.profile_state import (
+        profile_apply_incremental,
+        profile_from_state,
+        profile_state_init,
+    )
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "part_key", F.substring(h, 1, 1)
+    )
+    split = F.substring(h, 2, 1)
+    cols = ["lang", "n_chars"]
+    st = profile_state_init(docs.filter(split < "8"), columns=cols)
+    st = profile_apply_incremental(
+        st, docs.filter(split >= "8"), columns=cols
+    )
+    p = profile_from_state(st, per_partition=True)
+    return p.select(
+        "partition",
+        F.col("column").alias("col_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("null_count").cast("long").alias("null_count"),
+        F.col("count_values").cast("long").alias("count_values"),
+        F.col("min_num").cast("long").alias("min_num"),
+        F.col("max_num").cast("long").alias("max_num"),
+        F.col("sum_num").cast("long").alias("sum_num"),
+        "min_str",
+        "max_str",
+    )
+
+
 def _q_drift_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift-from-state (operators/profile_state): a histogram state built
     on a base slice of `events` and advanced with a delta slice — the
@@ -1461,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_missing_events_customer": _q_ind_missing_events_customer,
         "stats_profile_lineitem_approx": _q_stats_profile_lineitem_approx,
         "drift_incremental_events": _q_drift_incremental_events,
+        "profile_lineage_documents": _q_profile_lineage_documents,
         "top_words_documents": _q_top_words_documents,
         "od_violations_lineitem_2col": _q_od_violations_lineitem_2col,
         "mfd_highlights_orders": _q_mfd_highlights_orders,
@@ -2688,6 +2730,36 @@ SELECT word, freq, rank FROM r WHERE rank <= 10
         # full-table drift run
         "drift_events_by_type": _DRIFT_EVENTS_SQL,
         "drift_incremental_events": _DRIFT_EVENTS_SQL,
+        # the per-partition lineage rollup of the incrementally maintained
+        # profile state == a plain per-partition SQL profile (exact fields)
+        "profile_lineage_documents": """
+WITH d AS (
+  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS partition, *
+  FROM documents)
+SELECT partition, 'lang' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_count,
+       CAST(count(CASE WHEN lang IS NOT NULL AND lang <> '' THEN 1 END)
+            AS BIGINT) AS count_values,
+       CAST(NULL AS BIGINT) AS min_num,
+       CAST(NULL AS BIGINT) AS max_num,
+       CAST(NULL AS BIGINT) AS sum_num,
+       min(CASE WHEN lang <> '' THEN lang END) AS min_str,
+       max(CASE WHEN lang <> '' THEN lang END) AS max_str
+FROM d GROUP BY partition
+UNION ALL
+SELECT partition, 'n_chars',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(n_chars) AS BIGINT),
+       CAST(min(n_chars) AS BIGINT),
+       CAST(max(n_chars) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM d GROUP BY partition
+""",
         "od_violations_lineitem": """
 WITH g AS (
   SELECT l_orderkey, l_linenumber,
