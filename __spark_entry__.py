@@ -110,10 +110,17 @@ def _q_fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fd_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from desbordante_spark.operators.fd import fd_metrics_df
+    from desbordante_spark.sources.readers import spread_small_input_by
 
-    return fd_metrics_df(
-        _read(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderpriority"]
+    # o_custkey is near-unique per order row, so partial aggregation cannot
+    # compress the cluster stage — by-key spread parallelizes the serial
+    # single-file scan with the one shuffle the query needs anyway (no-op
+    # when the scan already fans out). Same operator, same results.
+    src = spread_small_input_by(
+        _read(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority"),
+        ["o_custkey"],
     )
+    return fd_metrics_df(src, ["o_custkey"], ["o_orderpriority"])
 
 
 def _q_afd_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +181,12 @@ def _q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = profile(
         _read(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_linenumber", "l_returnflag"],
+        # only the projected stats are aggregated: the explode reshape hides
+        # unused aggregates (percentile sketches, skewness, word stats) from
+        # Catalyst's pruning, so without this they'd be computed and thrown
+        # away on every row. Output is unchanged.
+        stats=["count_values", "null_count", "distinct_values", "min_value",
+               "max_value", "num_zeros", "num_negatives", "avg"],
     )
     return p.select(
         F.col("column").alias("col_name"),
@@ -196,11 +209,25 @@ def _q_stats_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql import functions as F
 
     from desbordante_spark.operators.stats import profile
+    from desbordante_spark.sources.readers import spread_small_input
 
+    # sketch building (HLL, percentile_approx) is heavy per row and fully
+    # mergeable — round-robin spread moves the 3 projected columns once and
+    # parallelizes the partial sketches (no-op on an already-parallel scan)
     p = profile(
-        _read(spark, sf_dir, "lineitem"),
+        spread_small_input(
+            _read(spark, sf_dir, "lineitem").select(
+                "l_quantity", "l_linenumber", "l_extendedprice"
+            )
+        ),
         ["l_quantity", "l_linenumber", "l_extendedprice"],
         distinct_mode="approx",
+        # aggregate only what the output consumes (the HLL and quantile
+        # sketches stay — has_distinct/n_quantiles force them); the other
+        # ~20 unused aggregates are invisible to Catalyst's pruning behind
+        # the explode and would otherwise run on every row
+        stats=["count_values", "null_count", "distinct_values", "quantiles",
+               "avg"],
     )
     return p.select(
         F.col("column").alias("col_name"),

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from desbordante_spark.sources.readers import spread_small_input
+
 __all__ = [
     "tokens",
     "token_count",
@@ -117,15 +119,19 @@ def lang_id_table(df: DataFrame, col: str, id_col: str) -> DataFrame:
     sw = spark.createDataFrame(sw_rows, "word string, lang string")
     prio = {"en": 4, "de": 3, "fr": 2, "es": 1}
     c = F.col(col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        c.alias("_text"),
-        F.length(F.regexp_replace(c, r"[^一-鿿]", "")).alias("_cjk"),
-        F.length(c).alias("_len"),
-        (c.isNull() | (F.trim(c) == "")).alias("_blank"),
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("id"), c.alias("_text"))
     )
-    toks = base.select(
-        "id", F.explode(tokens(F.col("_text"))).alias("tok")
+    t = F.col("_text")
+    base = src.select(
+        "id",
+        "_text",
+        F.length(F.regexp_replace(t, r"[^一-鿿]", "")).alias("_cjk"),
+        F.length(t).alias("_len"),
+        (t.isNull() | (F.trim(t) == "")).alias("_blank"),
+    )
+    toks = src.select(
+        "id", F.explode(tokens(t)).alias("tok")
     ).select("id", F.lower("tok").alias("word"))
     hits = (
         toks.join(F.broadcast(sw), "word")
@@ -154,12 +160,17 @@ def quality_features(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Per-doc quality feature row: ``(id, n_chars, n_tokens, mean_word_len,
     punct_ratio, digit_ratio, alpha_ratio, stopword_ratio_en, upper_ratio)``.
     Ratios are exact integer fractions."""
+    src = spread_small_input(
+        df.filter(F.col(col).isNotNull()).select(
+            F.col(id_col).alias(id_col), F.col(col).alias(col)
+        )
+    )
     c = F.col(col)
     toks = tokens(c)
     n_chars = F.length(c)
     nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
     n_of = lambda pat: F.length(F.regexp_replace(c, pat, ""))
-    return df.filter(c.isNotNull()).select(
+    return src.select(
         F.col(id_col).alias("id"),
         n_chars.cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -199,16 +210,25 @@ def doc_fingerprint(df: DataFrame, col: str, id_col: str,
     of md5 over rolling word n-grams (n = ``window_words``); whole-text md5
     when shorter."""
     c = F.col(col)
-    toks = tokens(c)
     n = window_words
-    grams = F.when(
+    # materialize the token array once per row in its OWN projection: a
+    # higher-order transform re-evaluates every subtree under its lambda per
+    # element, so an inline split() re-tokenizes the whole document for each
+    # gram position — O(T^2) per doc. Bound to an attribute it is evaluated
+    # once (CollapseProject keeps the projection: the alias is non-cheap and
+    # referenced more than once). md5 is fused into the same transform so
+    # the gram strings are never materialized as a second array.
+    base = spread_small_input(
+        df.filter(c.isNotNull()).select(F.col(id_col).alias("id"), c.alias("_t"))
+    ).select("id", tokens(F.col("_t")).alias("_toks"))
+    toks = F.col("_toks")
+    fp = F.when(
         F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return df.filter(c.isNotNull()).select(
-        F.col(id_col).alias("id"), fp.alias("fingerprint")
-    )
+    ).otherwise(F.md5(F.concat_ws(" ", toks)))
+    return base.select("id", fp.alias("fingerprint"))

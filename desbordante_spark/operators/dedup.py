@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from desbordante_spark.operators.caps import report_dropped as _report_dropped
+from desbordante_spark.sources.readers import spread_small_input
 
 __all__ = [
     "exact_duplicates",
@@ -43,18 +44,49 @@ __all__ = [
     "simhash_near_pairs",
 ]
 
-_HEX = "0123456789abcdef"
-
-
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups: ``(text_hash, cnt, min_id)`` for texts seen
     more than once. Keep ``min_id``, drop the rest."""
     h = F.md5(F.col(text_col)).alias("text_hash")
     return (
-        df.filter(F.col(text_col).isNotNull())
+        spread_small_input(
+            df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+        )
         .groupBy(h)
         .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("min_id"))
         .filter(F.col("cnt") > 1)
+    )
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int
+) -> DataFrame:
+    """Row-local shingle stream ``(id, shingle)`` deduped *within* each row
+    via ``array_distinct`` (no shuffle) — cross-row duplicates (same id on
+    several rows) may remain; callers needing set semantics add
+    ``.distinct()`` on top (the within-row dedup still shrinks that
+    shuffle). The token array is materialized in its own projection: a
+    higher-order transform re-evaluates subtrees under its lambda per
+    element, so an inline split() would re-tokenize the document per gram
+    position (O(T^2) per doc)."""
+    t = F.col(text_col)
+    base = spread_small_input(
+        df.filter(t.isNotNull() & (F.trim(t) != "")).select(
+            F.col(id_col).alias("id"), t.alias("_t")
+        )
+    ).select("id", F.split(F.trim(F.col("_t")), r"\s+").alias("_toks"))
+    toks = F.col("_toks")
+    if shingle_words == 1:
+        sh = toks
+    else:
+        n = shingle_words
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    return (
+        base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
     )
 
 
@@ -64,21 +96,7 @@ def doc_shingles(
     """Distinct shingles per doc: ``(id, shingle)``. ``shingle_words=1`` →
     word tokens; n>1 → space-joined word n-grams (rolling window over the
     token array, computed JVM-side with transform/slice)."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    if shingle_words == 1:
-        sh = tokens
-    else:
-        n = shingle_words
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens) - n + 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        )
-    return (
-        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    return _shingle_rows(df, id_col, text_col, shingle_words).distinct()
 
 
 def minhash_signatures(
@@ -90,7 +108,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: ``(id, mh0..mh{k-1})`` where
     ``mh_j = min(md5('s<j>:' || shingle))`` over the doc's shingle set."""
-    sh = doc_shingles(df, id_col, text_col, shingle_words)
+    # min() is duplicate-insensitive, so the global (id, shingle) distinct
+    # (a full extra shuffle + hash dedup) is unnecessary here: the row-local
+    # array_distinct in _shingle_rows already bounds the md5 work, and the
+    # groupBy's map-side partial aggregation sends one partial signature per
+    # (partition, id) into the one remaining shuffle. Identical output.
+    sh = _shingle_rows(df, id_col, text_col, shingle_words)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)
@@ -211,31 +234,47 @@ def near_duplicates(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
-def _hex_digit_val(h: F.Column, d: int) -> F.Column:
-    # 1-based instr over the hex alphabet → 0..15
-    return F.instr(F.lit(_HEX), F.substring(h, d + 1, 1)) - 1
-
-
 def simhash(
     df: DataFrame, id_col: str, text_col: str, chunks: int = 4
 ) -> DataFrame:
     """SimHash fingerprint per doc as ``chunks`` 16-bit ints
     ``(id, sh0..sh{chunks-1})`` — 64 bits total, derived from md5 hex digits
     of the doc's distinct tokens (sign of per-bit vote sums; ties → 0)."""
-    sh = doc_shingles(df, id_col, text_col, 1)
+    # one exchange instead of two: HashPartitioning(id) satisfies the
+    # clustering requirement of BOTH the (id, shingle) distinct and the
+    # final groupBy(id), so an explicit repartition("id") lets Spark run
+    # the dedup and the vote aggregation without any further shuffle.
+    # (array_distinct in _shingle_rows already dedupes within a row, so the
+    # lost map-side partial dedup costs nothing.)
+    sh = (
+        _shingle_rows(df, id_col, text_col, 1)
+        .repartition(F.col("id"))
+        .distinct()
+    )
+    # md5 and the per-chunk 16-bit value are materialized ONCE per row as
+    # attributes; each of the 64 bit-vote aggregates then costs one
+    # shift+mask instead of re-deriving its hex digit (md5 + substring +
+    # instr + div) inside every aggregate expression. Bit values are
+    # identical: digit d of chunk c is nibble (3 - (d - 4c)) of _g{c}, so
+    # the original (digit >> (3-k)) & 1 becomes (_g >> (15-4*(j//4)-j%4)) & 1.
     h = F.md5(F.col("shingle"))
+    g = sh.select(
+        "id",
+        *[
+            F.conv(F.substring(h, c * 4 + 1, 4), 16, 10).cast("int").alias(f"_g{c}")
+            for c in range(chunks)
+        ],
+    )
     aggs = []
     for c in range(chunks):
         chunk = F.lit(0)
         for j in range(16):
-            d = c * 4 + j // 4  # hex digit index 0..15
-            k = j % 4  # bit within digit, MSB first
-            v = _hex_digit_val(h, d)
-            bit = F.floor(v / F.lit(2 ** (3 - k))) % 2
+            shift = 15 - 4 * (j // 4) - (j % 4)
+            bit = F.shiftright(F.col(f"_g{c}"), shift).bitwiseAND(F.lit(1))
             vote = F.sum(bit * 2 - 1)
             chunk = chunk + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
         aggs.append(chunk.cast("long").alias(f"sh{c}"))
-    return sh.groupBy("id").agg(*aggs)
+    return g.groupBy("id").agg(*aggs)
 
 
 def simhash_near_pairs(

@@ -134,7 +134,7 @@ def _levenshtein_diameters(df, lhs, rhs_col, null_inf):
     )
 
 
-def _cosine_diameters(df, lhs, rhs_col, q, null_inf):
+def _cosine_diameters(df, lhs, rhs_col, q, null_inf, max_points):
     vals = df.select(*lhs, rhs_col).distinct()
     out_schema = ", ".join(
         [f"`{c}` {dict(df.dtypes)[c]}" for c in lhs]
@@ -154,24 +154,45 @@ def _cosine_diameters(df, lhs, rhs_col, q, null_inf):
         strs = pdf[rhs_col]
         has_null = strs.isna().any()
         strs = strs.dropna().tolist()
-        grams = [qgrams(s) for s in strs]
-        vocab = sorted({g for gr in grams for g in gr})
-        if not vocab or len(strs) < 2:
+        approx = False
+        if len(strs) < 2:
             d = 0.0
+        elif len(strs) > max_points:
+            # anchor 2-approximation (the reference's approx algorithm,
+            # metric_verifier.cpp): diameter <= 2 * max distance from any
+            # fixed point. Dict-based sparse dots — no O(c^2 * |vocab|)
+            # dense matrix, so a degenerate cluster with millions of
+            # distinct strings stays bounded per task. Anchor = lexical min
+            # string (deterministic under any partition order).
+            anchor = qgrams(min(strs))
+            an = float(np.sqrt(sum(v * v for v in anchor.values()))) or 1.0
+            dmax = 0.0
+            for s in strs:
+                gr = qgrams(s)
+                n = float(np.sqrt(sum(v * v for v in gr.values()))) or 1.0
+                dot = sum(c * anchor.get(g, 0) for g, c in gr.items())
+                dmax = max(dmax, 1.0 - dot / (n * an))
+            d = 2.0 * dmax
+            approx = True
         else:
-            m = np.zeros((len(strs), len(vocab)))
-            gi = {g: i for i, g in enumerate(vocab)}
-            for r, gr in enumerate(grams):
-                for g, c in gr.items():
-                    m[r, gi[g]] = c
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            mn = m / norms
-            sim = mn @ mn.T
-            d = float((1.0 - sim).max())
+            grams = [qgrams(s) for s in strs]
+            vocab = sorted({g for gr in grams for g in gr})
+            if not vocab:
+                d = 0.0
+            else:
+                m = np.zeros((len(strs), len(vocab)))
+                gi = {g: i for i, g in enumerate(vocab)}
+                for r, gr in enumerate(grams):
+                    for g, c in gr.items():
+                        m[r, gi[g]] = c
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                mn = m / norms
+                sim = mn @ mn.T
+                d = float((1.0 - sim).max())
         if has_null and null_inf:
             d = float("inf")
-        return pd.DataFrame([[*key, d, False]],
+        return pd.DataFrame([[*key, d, approx]],
                             columns=[*lhs, "diameter", "approximate"])
 
     diam = vals.groupBy(*lhs).applyInPandas(per_group, schema=out_schema).alias("d")
@@ -209,7 +230,8 @@ def mfd_cluster_diameters(
     if metric == "levenshtein":
         return _levenshtein_diameters(df, lhs, rhs[0], dist_from_null_is_infinity)
     if metric == "cosine":
-        return _cosine_diameters(df, lhs, rhs[0], q, dist_from_null_is_infinity)
+        return _cosine_diameters(df, lhs, rhs[0], q, dist_from_null_is_infinity,
+                                 max_points)
     raise ValueError(f"unknown metric {metric!r}")
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from desbordante_spark.model import VerificationResult
+from desbordante_spark.sources.readers import spread_small_input_by
 
 __all__ = ["od_violations", "od_verify"]
 
@@ -49,6 +50,14 @@ def _od_groups(
     base = df
     for c in (*lhs_cols, *rhs_cols):
         base = base.filter(F.col(c).isNotNull())
+    if context:
+        # by-context spread (see spread_small_input_by): HashPartitioning on
+        # the context satisfies both the (context, lhs) aggregation and the
+        # per-context window below, so an under-parallel input pays exactly
+        # ONE shuffle and every later stage runs at full parallelism
+        base = spread_small_input_by(
+            base.select(*context, *lhs_cols, *rhs_cols), context
+        )
     rk = (
         F.col(rhs_cols[0])
         if len(rhs_cols) == 1

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from desbordante_spark.operators.caps import report_dropped as _report_dropped
+from desbordante_spark.sources.readers import spread_small_input
 
 __all__ = [
     "cosine_topk_bruteforce",
@@ -106,8 +107,10 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = spread_small_input(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     ).withColumn("cn", _norm(F.col("cv")))
     j = F.broadcast(q).crossJoin(c)
     if exclude_self:

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from desbordante_spark.sources.readers import spread_small_input
+
 __all__ = [
     "profile",
     "word_stats",
@@ -60,7 +62,8 @@ _LETTERS = _UPPER + _LOWER
 
 
 def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
-                 categorical_threshold: int, quantile_accuracy: int):
+                 categorical_threshold: int, quantile_accuracy: int,
+                 stats: Sequence[str] | None = None):
     v = F.col(c)
     is_num = isinstance(dtype, _NUMERIC)
     is_str = isinstance(dtype, T.StringType)
@@ -176,7 +179,28 @@ def _stat_struct(c: str, dtype: T.DataType, distinct_mode: str,
             else F.lit(None).cast("long")
         ).alias("num_lowercase_chars"),
     ]
+    if stats is not None:
+        # aggregate subset: the caller only consumes some stats, and Catalyst
+        # cannot prune unused aggregates through the array+explode reshape —
+        # an unselected percentile/skewness sketch would still be computed on
+        # every row. Keep the identity fields; filter the rest by name.
+        keep = {"column", "dtype"} | set(stats)
+        fields = [f for f, name in zip(fields, _FIELD_NAMES) if name in keep]
     return F.struct(*fields)
+
+
+# alias names of the _stat_struct fields, in construction order (kept in
+# lockstep with the list above; verified by test)
+_FIELD_NAMES = [
+    "column", "dtype", "count_values", "null_count", "empty_count",
+    "distinct_values", "is_categorical", "min_value", "max_value", "sum",
+    "avg", "stddev", "skewness", "kurtosis", "sum_of_squares",
+    "geometric_mean", "num_zeros", "num_negatives", "quantiles", "num_chars",
+    "avg_chars", "min_chars", "max_chars", "num_words", "min_words",
+    "max_words", "num_entirely_uppercase_words",
+    "num_entirely_lowercase_words", "num_non_letter_chars", "num_digit_chars",
+    "num_uppercase_chars", "num_lowercase_chars",
+]
 
 
 def profile(
@@ -186,6 +210,7 @@ def profile(
     categorical_threshold: int = 50,
     quantile_accuracy: int = 10000,
     by: Sequence[str] = (),
+    stats: Sequence[str] | None = None,
 ) -> DataFrame:
     """Profile columns in one scan → long-format DataFrame, one row per
     column (per ``by`` group when given — the north-rule per-partition
@@ -194,6 +219,9 @@ def profile(
     ``distinct_mode``: 'exact' (count_distinct) or 'approx' (HLL++ sketch) —
     use 'approx' at scale. Quantiles always use the percentile_approx sketch
     (mergeable, single-pass; accuracy knob trades memory for error).
+    ``stats``: optional subset of stat names to compute (default all) — the
+    explode reshape hides unused aggregates from Catalyst's pruning, so a
+    caller that consumes only a few stats should name them here.
     """
     by = list(by)
     cols = list(columns) if columns else [c for c in df.columns if c not in by]
@@ -201,12 +229,14 @@ def profile(
     mode = "none" if distinct_mode == "exact" else distinct_mode
     structs = [
         _stat_struct(c, dtypes[c], mode, categorical_threshold,
-                     quantile_accuracy)
+                     quantile_accuracy, stats)
         for c in cols
     ]
     wide = df.groupBy(*by).agg(F.array(*structs).alias("stats"))
     out = wide.select(*by, F.explode("stats").alias("s")).select(*by, "s.*")
     if distinct_mode != "exact":
+        return out
+    if stats is not None and "distinct_values" not in stats:
         return out
     # exact distinct counts via ONE unpivoted single-distinct aggregation —
     # no Expand blowup, one shuffle of (column, value) pairs
@@ -272,7 +302,7 @@ def _exploded_words(df: DataFrame, column: str) -> DataFrame:
     v = F.col(column)
     valid = v.isNotNull() & (F.trim(v) != "")
     return (
-        df.filter(valid)
+        spread_small_input(df.filter(valid).select(column))
         .select(F.explode(F.split(F.trim(v), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from desbordante_spark.model import as_cols, UCCResult
+from desbordante_spark.sources.readers import spread_small_input_by
 
 __all__ = ["ucc_violations", "ucc_verify", "ucc_violating_clusters", "ucc_metrics_df"]
 
@@ -59,6 +60,12 @@ def ucc_violations(
     """
     columns = as_cols(columns)
     base = _base(df, columns, is_null_equal_null)
+    # by-key spread (see spread_small_input_by): a uniqueness check's keys
+    # are mostly distinct, so map-side partial aggregation cannot compress
+    # them — on an under-parallel input (single-file scan) the one shuffle
+    # might as well establish the final partitioning and run the whole
+    # aggregation in parallel
+    base = spread_small_input_by(base.select(*columns), columns)
     return (
         base.groupBy(*columns)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -103,9 +110,13 @@ def ucc_metrics_df(
             F.sum("cnt").alias("cnt")
         )
     else:
-        counts = base.groupBy(*by, *columns).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+        # by-key spread: uniqueness keys don't compress under partial agg,
+        # so on an under-parallel input one keyed shuffle both parallelizes
+        # and satisfies this groupBy AND the per-``by`` rollup below
+        keys = by + list(columns)
+        counts = spread_small_input_by(base.select(*keys), keys).groupBy(
+            *by, *columns
+        ).agg(F.count(F.lit(1)).alias("cnt"))
     viol = F.col("cnt") > 1
     agg = counts.groupBy(*by).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_rows"),

@@ -23,7 +23,96 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_csv", "from_pandas", "read_tables"]
+__all__ = ["read_csv", "from_pandas", "read_tables", "spread_small_input",
+           "spread_small_input_by"]
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input parallelization for compute-heavy per-row
+    operators (tokenization, rolling n-grams, per-pair distance folds).
+
+    A small table written as one parquet file with one row group scans as
+    ONE task no matter the split-size conf (row groups are the split
+    granularity), serializing all downstream per-row work on a single core.
+    When the input yields fewer partitions than the session's default
+    parallelism, round-robin repartition up to it — the shuffle moves only
+    the operator's (already projected) input once, and the explicit
+    partition count is exempt from AQE coalescing. At production scale the
+    scan fans out past the core count and this is a no-op, so no shuffle is
+    ever added where the layout is already parallel.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _effective_parallelism(df, target) < target:
+        return df.repartition(target)
+    return df
+
+
+def _effective_parallelism(df: DataFrame, target: int) -> int:
+    """Best-effort *effective* scan parallelism.
+
+    ``rdd.getNumPartitions()`` overcounts on small parquet inputs: Spark
+    happily makes ``minPartitionNum`` size-based splits of a single file,
+    but the row group is the real split granularity — a one-row-group file
+    yields one non-empty task no matter how many splits cover it. For
+    parquet file sources, count row groups from the footers (stopping at
+    ``target``); otherwise fall back to the partition count.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        if len(files) >= target:
+            return len(files)
+        groups = 0
+        for f in files:
+            if ".parquet" not in f:
+                groups = None
+                break
+            if f.startswith("file://"):
+                path = f[7:]
+            elif f.startswith("file:"):
+                path = f[5:]
+            else:
+                groups = None
+                break
+            try:
+                import pyarrow.parquet as pq
+
+                groups += pq.ParquetFile(path).num_row_groups
+            except Exception:
+                groups = None
+                break
+            if groups >= target:
+                break
+        if groups is not None:
+            return groups
+    return df.rdd.getNumPartitions()
+
+
+def spread_small_input_by(df: DataFrame, cols) -> DataFrame:
+    """By-key variant of :func:`spread_small_input` for aggregation/window
+    operators whose grouping keys do not compress under partial aggregation
+    (uniqueness checks, per-context windows): repartition by ``cols`` when
+    the input is under-parallel. The resulting HashPartitioning satisfies
+    every downstream clustering requirement on these keys (or a superset),
+    so Spark plans NO further exchange — one shuffle replaces the serial
+    partial-agg + exchange pair. No-op at production parallelism; callers
+    must project to the needed columns first so the exchange carries only
+    them. (Round-robin was measured strictly worse here: its mandatory
+    sort-before-repartition pays more than the parallelism gain.)
+    """
+    cols = list(cols)
+    if df.isStreaming or not cols:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _effective_parallelism(df, target) < target:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
 
 
 def read_csv(
