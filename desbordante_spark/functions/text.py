@@ -119,19 +119,19 @@ def lang_id_table(df: DataFrame, col: str, id_col: str) -> DataFrame:
     sw = spark.createDataFrame(sw_rows, "word string, lang string")
     prio = {"en": 4, "de": 3, "fr": 2, "es": 1}
     c = F.col(col)
-    src = spread_small_input(
-        df.select(F.col(id_col).alias("id"), c.alias("_text"))
+    # no input spread here (measured): unlike the md5/n-gram operators the
+    # per-row scan work is light, so an extra exchange costs more than the
+    # serial scan it parallelizes — the broadcast-dim join + hit aggregation
+    # already dominate and parallelize after their own shuffle
+    base = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("_text"),
+        F.length(F.regexp_replace(c, r"[^一-鿿]", "")).alias("_cjk"),
+        F.length(c).alias("_len"),
+        (c.isNull() | (F.trim(c) == "")).alias("_blank"),
     )
-    t = F.col("_text")
-    base = src.select(
-        "id",
-        "_text",
-        F.length(F.regexp_replace(t, r"[^一-鿿]", "")).alias("_cjk"),
-        F.length(t).alias("_len"),
-        (t.isNull() | (F.trim(t) == "")).alias("_blank"),
-    )
-    toks = src.select(
-        "id", F.explode(tokens(t)).alias("tok")
+    toks = base.select(
+        "id", F.explode(tokens(F.col("_text"))).alias("tok")
     ).select("id", F.lower("tok").alias("word"))
     hits = (
         toks.join(F.broadcast(sw), "word")

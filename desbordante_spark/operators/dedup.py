@@ -47,11 +47,12 @@ __all__ = [
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups: ``(text_hash, cnt, min_id)`` for texts seen
     more than once. Keep ``min_id``, drop the rest."""
+    # no input spread (measured): the md5 hash-groupBy compresses map-side
+    # (one partial row per distinct text), so the serial scan+hash is
+    # cheaper than an extra full-text exchange
     h = F.md5(F.col(text_col)).alias("text_hash")
     return (
-        spread_small_input(
-            df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
-        )
+        df.filter(F.col(text_col).isNotNull())
         .groupBy(h)
         .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("min_id"))
         .filter(F.col("cnt") > 1)

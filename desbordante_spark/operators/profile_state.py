@@ -184,7 +184,11 @@ def _hist_bucket(c: str, spec) -> F.Column:
     rule (``'discrete'`` → the value itself; a float → fixed-width
     ``floor(v / width)``), so ``drift_from_state`` over an incrementally
     maintained state equals ``drift_metrics(histogram_sketch(full_table))``
-    bit-for-bit. The global-min/max ``bins`` mode is deliberately absent:
+    bit-for-bit — for a STRING partition column: ``hist_state_init`` casts
+    the partition key to string while ``histogram_sketch`` keeps its native
+    type, so with a non-string ``by`` column the two partition columns
+    differ in type (values are equal as strings). All gated uses pass
+    string keys. The global-min/max ``bins`` mode is deliberately absent:
     its bin edges depend on the whole table, so it is not incrementally
     mergeable."""
     v = F.col(c)

@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from desbordante_spark.sources.readers import spread_small_input
-
 __all__ = [
     "profile",
     "word_stats",
@@ -299,10 +297,14 @@ def words_set(df: DataFrame, column: str) -> DataFrame:
 
 
 def _exploded_words(df: DataFrame, column: str) -> DataFrame:
+    # no input spread (measured): the per-word partial count compresses to
+    # vocabulary size map-side, so the word-count shuffle is tiny either way
+    # and an extra text exchange costs more than the serial split it
+    # parallelizes (0.3s -> 0.8s on the bench table)
     v = F.col(column)
     valid = v.isNotNull() & (F.trim(v) != "")
     return (
-        spread_small_input(df.filter(valid).select(column))
+        df.filter(valid)
         .select(F.explode(F.split(F.trim(v), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
