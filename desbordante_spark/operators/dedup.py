@@ -44,6 +44,7 @@ __all__ = [
     "simhash_near_pairs",
 ]
 
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups: ``(text_hash, cnt, min_id)`` for texts seen
     more than once. Keep ``min_id``, drop the rest."""
